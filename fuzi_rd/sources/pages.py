@@ -1,0 +1,220 @@
+"""Deterministic Common-Crawl-style page table generator.
+
+Synthesizes the pipeline input table (BASELINE.json `input_hint`):
+
+    url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string
+
+Everything is a pure function of the row sequence number (seed-42 content
+mutations, no wall clock, no randomness — FIXTURES.md §5), so any scale tier
+regenerates bit-identically: t1 smoke ~200 rows, t2 correctness ~5,000 rows,
+bench 50,000+ rows.
+
+A small fraction of rows carries the reference conformance corpus page
+(web.html) and pathological pages (malformed, unicode, script-heavy, empty)
+so the pipeline's recovery paths stay exercised at every scale.
+"""
+
+from __future__ import annotations
+
+import datetime
+import pathlib
+
+import pyarrow as pa
+
+_FIXTURE_DIR = pathlib.Path(__file__).resolve().parents[2] / "tests" / "fixtures"
+
+BASE_TS = datetime.datetime(2026, 1, 2, 0, 0, 0, tzinfo=datetime.timezone.utc)
+
+_WORDS = (
+    "data stream shard parquet arrow batch actor cluster schedule spill"
+    " tensor vector column block node parse query density heuristic content"
+    " extract pipeline lineage manifest resume checkpoint throughput scale"
+    " partition shuffle broadcast replica worker driver object store memory"
+).split()
+
+_LANGS = ("en", "en", "en", "en", "ja", "el", "ru", "ar", "he", "zh")
+
+_UNICODE_SNIPPETS = {
+    "ja": "中文 日本語 한국어",
+    "el": "Ελληνικά κείμενο εδώ",
+    "ru": "Русский текст здесь",
+    "ar": "النص العربي هنا",
+    "he": "טקסט בעברית כאן",
+    "zh": "这是一段中文文本",
+    "en": "café résumé naïve",
+}
+
+
+def _sentence(seq: int, j: int, k: int) -> str:
+    # deterministic pseudo-prose: pure function of (seq, j, k)
+    h = (seq * 2654435761 + j * 40503 + k * 69621) & 0x7FFFFFFF
+    out = []
+    for w in range(6 + (h % 7)):
+        out.append(_WORDS[(h + w * 131) % len(_WORDS)])
+    return " ".join(out).capitalize() + f" s{seq} p{j} t{k}."
+
+
+def _paragraph(seq: int, j: int) -> str:
+    return " ".join(_sentence(seq, j, k) for k in range(4 + (seq + j) % 4))
+
+
+def _nav(seq: int) -> str:
+    items = "".join(
+        f'<li><a href="/section/{i}">Section {i} navigation link</a></li>'
+        for i in range(8)
+    )
+    return f'<nav id="topnav"><ul>{items}</ul></nav>'
+
+
+def _footer(seq: int) -> str:
+    links = "".join(
+        f'<a href="/legal/{i}">Legal {i}</a> | ' for i in range(6)
+    )
+    return f'<footer class="site-footer">{links}<span>© fixture {seq % 7}</span></footer>'
+
+
+def article_page(seq: int, lang: str) -> str:
+    n_paras = 3 + seq % 6
+    paras = "\n".join(
+        f'<p class="body-text">{_paragraph(seq, j)}</p>' for j in range(n_paras)
+    )
+    uni = _UNICODE_SNIPPETS.get(lang, _UNICODE_SNIPPETS["en"])
+    return f"""<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<meta charset="utf-8">
+<title>Fixture article {seq}</title>
+<style>body {{ margin: 0; }} .ad {{ display:none }}</style>
+<script>var track = {seq}; if (track < 2) console.log("x");</script>
+</head>
+<body class="article-page">
+{_nav(seq)}
+<header><h1>Fixture article {seq}: {uni}</h1></header>
+<main id="content">
+<article>
+{paras}
+</article>
+</main>
+<aside class="ad"><a href="/buy/1">Buy now</a> <a href="/buy/2">Deals</a></aside>
+{_footer(seq)}
+</body>
+</html>"""
+
+
+def listing_page(seq: int, lang: str) -> str:
+    # link-dense page: nothing should survive the link-density filter except
+    # the description block
+    items = "\n".join(
+        f'<li><a href="/item/{seq}/{i}">Item {i} title link text here</a></li>'
+        for i in range(20)
+    )
+    return f"""<html><head><title>Listing {seq}</title></head>
+<body>
+{_nav(seq)}
+<div id="listing"><ul>{items}</ul></div>
+<div id="description"><p>{_paragraph(seq, 0)}</p></div>
+{_footer(seq)}
+</body></html>"""
+
+
+def malformed_page(seq: int, lang: str) -> str:
+    return (
+        f"<html><body><div><p>Paragraph {_paragraph(seq, 0)}"
+        f"<div>Nested {_paragraph(seq, 1)}"
+    )
+
+
+def script_heavy_page(seq: int, lang: str) -> str:
+    blob = ";".join(f"var v{i}={i}<{i + 1}" for i in range(50))
+    return (
+        f"<html><head><title>App {seq}</title><script>{blob}</script></head>"
+        f"<body><div id='app'><p>{_paragraph(seq, 0)}</p></div>"
+        f"<script>{blob}</script></body></html>"
+    )
+
+
+def tiny_page(seq: int, lang: str) -> str:
+    return f"<html><head><title>t{seq}</title></head><body>tiny {seq}</body></html>"
+
+
+_TEMPLATES = (
+    article_page,  # weight via repetition
+    article_page,
+    article_page,
+    article_page,
+    listing_page,
+    article_page,
+    script_heavy_page,
+    article_page,
+    malformed_page,
+    tiny_page,
+)
+
+_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_WEB_HTML_EVERY = 97  # every 97th row carries the real reference corpus page
+
+
+def row_for_seq(seq: int) -> tuple:
+    lang = _LANGS[seq % len(_LANGS)]
+    url = f"https://fixtures.test/{seq % 16:x}/{seq:08d}"
+    ts = BASE_TS + datetime.timedelta(seconds=seq)
+    if seq % _WEB_HTML_EVERY == 96:
+        html = (_FIXTURE_DIR / "web.html").read_bytes()
+        lang = "en"
+    else:
+        html = _TEMPLATES[seq % len(_TEMPLATES)](seq, lang).encode("utf-8")
+    return url, ts.replace(tzinfo=None), html, "", lang
+
+
+def pages_table(n_rows: int, start: int = 0) -> pa.Table:
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for seq in range(start, start + n_rows):
+        u, t, h, x, l = row_for_seq(seq)
+        urls.append(u)
+        tss.append(t)
+        htmls.append(h)
+        texts.append(x)
+        langs.append(l)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=_SCHEMA,
+    )
+
+
+def write_pages_parquet(
+    out_dir: str, n_rows: int, rows_per_file: int = 10_000
+) -> list[str]:
+    """Write the page table as multiple parquet files (one per input shard —
+    the unit of parallel reading and of resume)."""
+    import pyarrow.parquet as pq
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = []
+    start = 0
+    shard = 0
+    while start < n_rows:
+        n = min(rows_per_file, n_rows - start)
+        path = out / f"pages-{shard:05d}.parquet"
+        if not path.exists():
+            tbl = pages_table(n, start=start)
+            pq.write_table(tbl, path, compression="zstd")
+        paths.append(str(path))
+        start += n
+        shard += 1
+    return paths

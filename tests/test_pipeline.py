@@ -1,0 +1,130 @@
+"""Pipeline-level tests: byte-identity of the distributed extraction vs the
+single-document engine, partitioned output layout, lineage manifests, and
+crash-resume (FIXTURES.md §5 / SURVEY.md §5.2)."""
+
+import shutil
+
+import pytest
+
+from fuzi_rd.extract import extract_from_html
+from fuzi_rd.sources.pages import row_for_seq, write_pages_parquet
+from fuzi_rd.state import manifest as mf
+
+N_ROWS = 120
+NUM_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    write_pages_parquet(str(d), N_ROWS, rows_per_file=40)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, pages_dir, tmp_path_factory):
+    from fuzi_rd.pipelines.extraction import run_extraction
+
+    out = str(tmp_path_factory.mktemp("out") / "run1")
+    roll = run_extraction(
+        pages_dir, out, num_parts=NUM_PARTS, resume=False, batch_size=16
+    )
+    return out, roll
+
+
+def test_rollup_counts(extracted):
+    _, roll = extracted
+    assert roll["rows"] == N_ROWS
+    assert roll["ok_rows"] == N_ROWS
+    assert roll["error_rows"] == 0
+
+
+def test_byte_identity_vs_single_doc(ray_session, extracted):
+    """The distributed pipeline's extracted_text must be byte-identical per
+    url to the single-document engine run driver-side on the same html
+    (the north_rule correctness invariant, applied to our own engine)."""
+    import ray
+
+    out, _ = extracted
+    got = {
+        r["url"]: (r["extracted_text"], r["title"])
+        for r in ray.data.read_parquet(out).take_all()
+    }
+    assert len(got) == N_ROWS
+    for seq in range(N_ROWS):
+        url, _, html, _, _ = row_for_seq(seq)
+        expected = extract_from_html(html)
+        assert got[url][0] == expected["extracted_text"], url
+        assert got[url][1] == expected["title"], url
+
+
+def test_manifests_complete(extracted):
+    out, _ = extracted
+    manifests = mf.read_manifests(out)
+    assert len(manifests) == NUM_PARTS
+    assert sum(m["rows"] for m in manifests) == N_ROWS
+    for m in manifests:
+        assert m["text_checksum"] >= 0
+        assert m["run_id"]
+
+
+def test_resume_recomputes_only_missing(ray_session, extracted, tmp_path):
+    """Simulate a crash: drop two partitions' manifests + data, re-run with
+    resume=True, and require the final output to match a fresh run exactly."""
+    import ray
+
+    from fuzi_rd.pipelines.extraction import run_extraction
+
+    out, _ = extracted
+    crash = str(tmp_path / "crashed")
+    shutil.copytree(out, crash)
+
+    victims = [0, 3]
+    for part in victims:
+        (mf.manifest_dir(crash) / f"part-{part}.json").unlink()
+        shutil.rmtree(f"{crash}/part={part}")
+    # one partition crashed mid-write: data present but no manifest
+    half = 5
+    (mf.manifest_dir(crash) / f"part-{half}.json").unlink()
+
+    before = mf.completed_parts(crash)
+    assert set(victims) | {half} == set(range(NUM_PARTS)) - before
+
+    # pages_dir is recomputed deterministically from the same fixture module
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, N_ROWS, rows_per_file=40)
+    roll = run_extraction(pages, crash, num_parts=NUM_PARTS, resume=True)
+    assert roll["rows"] == N_ROWS
+
+    want = {
+        r["url"]: r["extracted_text"] for r in ray.data.read_parquet(out).take_all()
+    }
+    got = {
+        r["url"]: r["extracted_text"] for r in ray.data.read_parquet(crash).take_all()
+    }
+    assert got == want  # no missing rows, no duplicates, identical bytes
+    assert len(mf.read_manifests(crash)) == NUM_PARTS
+
+
+def test_error_rows_do_not_poison(ray_session, tmp_path):
+    """A row whose html explodes the parser becomes status='error'; the rest
+    of its batch is unaffected (SURVEY.md §4.2 poison-pill tolerance)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from fuzi_rd.pipelines.extraction import extract_dataset
+
+    tbl = pa.table(
+        {
+            "url": ["https://x.test/ok", "https://x.test/empty", "https://x.test/ok2"],
+            "html": [b"<html><body><p>" + b"good content here " * 10 + b"</p></body></html>", b"", b"<html><body>fine</body></html>"],
+        }
+    )
+    p = tmp_path / "in.parquet"
+    pq.write_table(tbl, p)
+    ds = ray.data.read_parquet(str(p))
+    rows = {r["url"]: r for r in extract_dataset(ds, concurrency=(1, 1)).take_all()}
+    assert rows["https://x.test/empty"]["status"] == "error"
+    assert rows["https://x.test/ok"]["status"] == "ok"
+    assert "good content here" in rows["https://x.test/ok"]["extracted_text"]
