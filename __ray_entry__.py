@@ -1,44 +1,496 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in fuzi_rd) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry``    — flagship extraction pipeline on a deterministic t1-scale page
+               table plus a quality pass over sf0.001 documents.
+``queries``  — one callable per implemented operator/pipeline (SURVEY.md §2
+               and the training-data operator set); each takes sf_dir.
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query
+               (identical column names; integer/rounded outputs so value
+               hashes are exact).  Non-SQL-expressible ops (heuristic
+               lang-id, MinHash/SimHash/LSH, extraction, media stubs) are
+               intentionally absent -> driver records rows-only checks.
 """
 
 from __future__ import annotations
 
+import pathlib
 from collections.abc import Callable
 from typing import Any
 
+_PAGE_ROWS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}
+
+
+def _pages_dir_for(sf_dir: str) -> str:
+    """Deterministic page-table fixture sized by scale tier (the web-page
+    input table is synthesized, per BASELINE.json input_hint)."""
+    from fuzi_rd.sources.pages import write_pages_parquet
+
+    tier = pathlib.Path(sf_dir).name or "sf0.01"
+    n = _PAGE_ROWS.get(tier, 1000)
+    out = f"/tmp/fuzi_rd_pages_{tier}_{n}"
+    write_pages_parquet(out, n, rows_per_file=max(n // 8, 50))
+    return out
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: read pages -> density extraction -> partitioned write with
+    lineage manifests; returns the extracted Dataset."""
+    import shutil
+
+    from fuzi_rd.pipelines.extraction import run_extraction
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _pages_dir_for(sf_dir)
+    out = "/tmp/fuzi_rd_entry_out"
+    shutil.rmtree(out, ignore_errors=True)
+    run_extraction(pages, out, num_parts=16, resume=False, batch_size=16)
+
+    # exercise the documents table from the requested sf tier as well
+    import ray
+
+    from fuzi_rd.functions.textstats import quality_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    _ = docs.map_batches(quality_batch, batch_format="pyarrow").count()
+
+    return ray.data.read_parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_token_stats(sf_dir: str):
+    from fuzi_rd.functions.textstats import token_stats_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow"
+    )
+
+
+def _q_doc_quality(sf_dir: str):
+    from fuzi_rd.functions.textstats import quality_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from fuzi_rd.functions.textstats import fingerprint_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    import pyarrow as pa
+
+    from fuzi_rd.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["text_hash", "doc_id"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_lang_counts(sf_dir: str):
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    out = ds.groupby("lang").count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n_docs"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_events_rollup(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        # exact integer aggregation: milli-units summed as int64 so the
+        # result is bit-identical to the SQL oracle regardless of order
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 1000)), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(to_milli, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(), Sum("value_milli"))
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": pc.cast(batch.column("count()"), pa.int64()),
+                "total_value_milli": pc.cast(
+                    batch.column("sum(value_milli)"), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def _q_q1_lineitem(sf_dir: str):
+    """TPC-H Q1-flavored wide aggregate with driver-friendly naming.
+    Pre-aggregation happens inside Ray's hash aggregate; outputs rounded."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        # integer pre-aggregation units (qty whole, price in cents) so sums
+        # are exact and order-independent
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_extendedprice"), 100)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(to_int, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty"), Sum("price_cents"), Count())
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.cast(batch.column("sum(qty)"), pa.int64()),
+                "sum_base_price_cents": pc.cast(
+                    batch.column("sum(price_cents)"), pa.int64()
+                ),
+                "count_order": pc.cast(batch.column("count()"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def _q_orders_by_nation(sf_dir: str):
+    """Broadcast-join pipeline: orders -> customer -> nation (both small
+    sides ray.put once), then a tiny groupby on nation name."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from fuzi_rd.functions.relational import broadcast_join
+
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = broadcast_join(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        customer.rename_columns(["o_custkey", "c_nationkey"]),
+        "o_custkey",
+        ["c_nationkey"],
+    )
+    joined = broadcast_join(
+        joined,
+        nation.rename_columns(["c_nationkey", "n_name"]),
+        "c_nationkey",
+        ["n_name"],
+    )
+    out = joined.groupby("n_name").aggregate(Count(), Sum("price_cents"))
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "n_orders": pc.cast(batch.column("count()"), pa.int64()),
+                "total_price_cents": pc.cast(
+                    batch.column("sum(price_cents)"), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def _q_sim_topk(sf_dir: str):
+    """Exact cosine top-10 against the vec_id=0 embedding."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fuzi_rd.functions.simsearch import brute_force_topk
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = tbl.filter(pc.equal(tbl.column("vec_id"), 0))
+    query = q.column("embedding").to_pylist()[0]
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = brute_force_topk(ds, query, k=10)
+    return pa.table(
+        {
+            "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "sim": pa.array([round(r["sim"], 4) for r in rows], pa.float64()),
+        }
+    )
+
+
+# -- rows-only checks (non-SQL-expressible) ---------------------------------
+
+
+def _q_doc_lang_id(sf_dir: str):
+    from fuzi_rd.functions.textstats import lang_id_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def _q_minhash_bands(sf_dir: str):
+    from fuzi_rd.functions.dedup import _minhash_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _minhash_batch, batch_format="pyarrow"
+    )
+
+
+def _q_minhash_dedup(sf_dir: str):
+    import pyarrow as pa
+
+    from fuzi_rd.functions.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_dedup(ds, threshold=0.8)
+    return pa.table(
+        {
+            "doc_id": pa.array([c[0] for c in clusters], pa.int64()),
+            "cluster_rep": pa.array([c[1] for c in clusters], pa.int64()),
+        }
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from fuzi_rd.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
+def _q_lsh_topk(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzi_rd.functions.simsearch import lsh_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    query = tbl.column("embedding").to_pylist()[0]
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = lsh_topk(ds, query, k=10)
+    return pa.table(
+        {
+            "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "sim": pa.array([round(r["sim"], 4) for r in rows], pa.float64()),
+        }
+    )
+
+
+def _q_extract_pages(sf_dir: str):
+    """The flagship operator: density extraction over the synthesized page
+    table (rows-only driver check; byte-identity is enforced by pytest)."""
+    import ray
+
+    from fuzi_rd.pipelines.extraction import extract_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    out = extract_dataset(ds, batch_size=16)
+    return out.select_columns(
+        ["url", "part", "title", "text_len", "text_hash", "status"]
+    )
+
+
+def _q_media_decode(sf_dir: str):
+    import ray
+
+    from fuzi_rd.functions.multimodal import DecodeImage, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        DecodeImage, batch_size=8, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def _q_media_features(sf_dir: str):
+    import ray
+
+    from fuzi_rd.functions.multimodal import ExtractFeatures, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        ExtractFeatures, batch_size=8, batch_format="pyarrow", concurrency=(1, 2)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "lang_counts": _q_lang_counts,
+        "events_rollup": _q_events_rollup,
+        "q1_lineitem": _q_q1_lineitem,
+        "orders_by_nation": _q_orders_by_nation,
+        "sim_topk": _q_sim_topk,
+        # rows-only (no SQL equivalent)
+        "doc_lang_id": _q_doc_lang_id,
+        "minhash_bands": _q_minhash_bands,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_topk": _q_lsh_topk,
+        "extract_pages": _q_extract_pages,
+        "media_decode": _q_media_decode,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(list_filter(string_split_regex(trim(text), '\s+'),
+                                                x -> x <> '')) END AS n_tokens,
+                   length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        """,
+        "doc_quality": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(list_filter(string_split_regex(trim(text), '\s+'),
+                                                  x -> x <> '')) END AS n_tokens,
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+              FROM documents)
+            SELECT *,
+                   (n_tokens >= 5 AND n_chars >= 30
+                    AND 2 * n_alpha >= n_chars
+                    AND 20 * n_punct <= 3 * n_chars) AS quality_ok
+            FROM s
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "lang_counts": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "events_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_value_milli
+            FROM events GROUP BY event_type
+        """,
+        "q1_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_price_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "sim_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0),
+                 scored AS (
+                   SELECT vec_id,
+                          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                 (SELECT qe FROM q)) AS raw_sim
+                   FROM embeddings)
+            SELECT CAST(row_number() OVER (ORDER BY raw_sim DESC, vec_id) AS BIGINT) AS rank,
+                   vec_id, round(raw_sim, 4) AS sim
+            FROM scored
+            ORDER BY raw_sim DESC, vec_id
+            LIMIT 10
+        """,
+    }

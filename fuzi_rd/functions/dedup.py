@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines.
+
+  exact_dedup      md5(text) hash-partitioned, first (min doc_id) per group
+  minhash_lsh      char-shingle MinHash signatures, banded LSH bucketing,
+                   Jaccard verification, min-id cluster representative
+  simhash          64-bit SimHash + 4-band blocking for hamming<=3 pairs
+  ngram_jaccard    verified n-gram Jaccard similarity for candidate pairs
+
+Scale notes (100 TB): the only all-to-all exchanges are groupbys on
+*fixed-width keys* (16-byte md5 / 8-byte band hashes) — never on document
+text; signatures are computed inside ``map_batches`` so each document's text
+is read exactly once.  Candidate verification re-reads only the candidate
+pairs' shingle sets (a tiny fraction of the corpus).  The union-find step
+runs driver-side over candidate *pairs only*; at 10^12-document scale it
+would become an iterative label-propagation dataset job — the bucketing
+stages are unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+# 64 independent-ish hash functions via (a*x+b) mod p over 64-bit space
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(42)
+_A = _RNG.randint(1, _MERSENNE, size=64, dtype=np.int64).astype(np.uint64)
+_B = _RNG.randint(0, _MERSENNE, size=64, dtype=np.int64).astype(np.uint64)
+
+N_PERM = 64
+BAND_SIZE = 4
+N_BANDS = N_PERM // BAND_SIZE  # 16
+
+
+def _md5_batch(batch: pa.Table) -> pa.Table:
+    hashes = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array(hashes, pa.string()),
+        }
+    )
+
+
+def exact_dedup(ds):
+    """Exact dedup: one hash pass + a groupby on the 32-char digest.
+    Returns (text_hash, doc_id) with doc_id = min id per distinct text."""
+    hashed = ds.map_batches(_md5_batch, batch_format="pyarrow")
+    return hashed.groupby("text_hash").min("doc_id")
+
+
+# -- MinHash -----------------------------------------------------------------
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of the k-char shingles of a document (uint64)."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t + " " * (k - len(t))
+    # byte shingles of the utf-8 encoding, hashed with blake2b (stable
+    # across processes — unlike Python's seeded hash())
+    data = t.encode("utf-8", "replace")
+    n = max(len(data) - k + 1, 1)
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        out[i] = struct.unpack(
+            "<Q", hashlib.blake2b(data[i : i + k], digest_size=8).digest()
+        )[0]
+    return np.unique(out)
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """64-permutation MinHash signature (vectorized: 64 x |shingles|)."""
+    if len(shingles) == 0:
+        return np.zeros(N_PERM, dtype=np.uint64)
+    # (a * x + b) mod p, broadcast over permutations
+    x = shingles[None, :] % _MERSENNE
+    vals = (_A[:, None] * x + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def _minhash_batch(batch: pa.Table) -> pa.Table:
+    """Emit one row per (doc, band): (band, band_hash, doc_id).  The
+    follow-up groupby on (band, band_hash) is the LSH bucket shuffle."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_doc, out_band, out_hash = [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        sig = minhash_signature(char_shingles(text or ""))
+        for b in range(N_BANDS):
+            chunk = sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            out_doc.append(doc_id)
+            out_band.append(b)
+            out_hash.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+        }
+    )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one LSH bucket (map_groups)."""
+    ids = sorted(group.column("doc_id").to_pylist())
+    a, b = [], []
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+
+def minhash_candidate_pairs(ds):
+    """documents -> distinct candidate near-dup pairs via banded LSH."""
+    banded = ds.map_batches(_minhash_batch, batch_format="pyarrow")
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).count()
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_dedup(ds, threshold: float = 0.8):
+    """Full near-dup pass: LSH candidates -> exact Jaccard verification ->
+    union-find -> (doc_id, cluster_rep) for every clustered document.
+
+    The verification joins candidate text back by doc_id via a broadcast
+    lookup (candidates are a tiny fraction of the corpus)."""
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(ds).take_all()
+    ]
+    need = sorted({i for p in pairs for i in p})
+    if not need:
+        return []
+    need_set = set(need)
+
+    def _texts(batch: pa.Table) -> pa.Table:
+        keep_idx = [
+            i
+            for i, d in enumerate(batch.column("doc_id").to_pylist())
+            if d in need_set
+        ]
+        sub = batch.take(keep_idx)
+        return pa.table({"doc_id": sub.column("doc_id"), "text": sub.column("text")})
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.map_batches(_texts, batch_format="pyarrow").take_all()
+    }
+    shingle_cache = {d: char_shingles(texts.get(d) or "") for d in need}
+
+    parent = {d: d for d in need}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verified = []
+    for a, b in pairs:
+        j = jaccard(shingle_cache[a], shingle_cache[b])
+        if j >= threshold:
+            verified.append((a, b, j))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    from collections import Counter
+
+    reps = {d: find(d) for d in need}
+    sizes = Counter(reps.values())
+    return sorted((d, r) for d, r in reps.items() if sizes[r] > 1)
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    tokens = (text or "").lower().split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = struct.unpack(
+            "<Q", hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+        )[0]
+        bits = np.unpackbits(np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
+        acc += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    sh = [simhash64(t) for t in batch.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(sh, pa.uint64()),
+        }
+    )
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3):
+    """Blocked simhash near-dup pairs: split the 64-bit hash into 4 16-bit
+    blocks; any pair within hamming<=3 shares at least one block (pigeonhole).
+    Groupby per block -> candidate pairs -> exact hamming verify."""
+    hashed = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def _blocks(batch: pa.Table) -> pa.Table:
+        ids, blocks, keys, hashes = [], [], [], []
+        for d, h in zip(
+            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
+        ):
+            for b in range(4):
+                ids.append(d)
+                blocks.append(b)
+                keys.append((h >> (16 * b)) & 0xFFFF)
+                hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "block": pa.array(blocks, pa.int32()),
+                "key": pa.array(keys, pa.int32()),
+                "simhash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())
+        )
+        a, b, d = [], [], []
+        for i in range(len(rows) - 1):
+            for j in range(i + 1, len(rows)):
+                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
+                if ham <= max_hamming and rows[i][0] != rows[j][0]:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(ham)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(d, pa.int32()),
+            }
+        )
+
+    blocked = hashed.map_batches(_blocks, batch_format="pyarrow")
+    pairs = blocked.groupby(["block", "key"]).map_groups(_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).min("hamming")

@@ -1,0 +1,136 @@
+"""Text-analysis batch functions for training-data pipelines.
+
+All hot-path work is vectorized (pyarrow.compute regex kernels / numpy);
+outputs that feed the DuckDB correctness oracle are integer counts or md5
+strings so the cross-engine comparison is exact (no float drift).
+
+Operators:
+  token_stats     whitespace token count + char-class counts per document
+  quality_score   integer-threshold quality gate (length / punct / alpha)
+  fingerprint     md5 of whitespace-normalized lowercased text
+  lang_id         n-gram/script heuristic language guess (non-SQL oracle)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    # tokens = non-empty runs of non-whitespace
+    n_tokens = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    )
+    # empty/whitespace-only text splits to [""] -> 1; fix to 0
+    trimmed_len = pc.utf8_length(pc.utf8_trim_whitespace(text))
+    n_tokens = pc.if_else(pc.equal(trimmed_len, 0), pa.scalar(0, pa.int32()), n_tokens)
+    n_chars = pc.utf8_length(text)
+    n_punct = pc.count_substring_regex(text, r"[.,!?;:]")
+    n_digit = pc.count_substring_regex(text, r"[0-9]")
+    n_upper = pc.count_substring_regex(text, r"[A-Z]")
+    n_alpha = pc.count_substring_regex(text, r"[A-Za-z]")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_punct": pc.cast(n_punct, pa.int64()),
+            "n_digit": pc.cast(n_digit, pa.int64()),
+            "n_upper": pc.cast(n_upper, pa.int64()),
+            "n_alpha": pc.cast(n_alpha, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Integer-arithmetic quality gate: a document is kept iff
+       n_tokens >= 5  and  n_chars >= 30
+       and 2*n_alpha >= n_chars            (at least half alphabetic)
+       and 20*n_punct <= 3*n_chars         (punct ratio <= 0.15)"""
+    stats = token_stats_batch(batch)
+    n_chars = stats.column("n_chars")
+    ok = pc.and_(
+        pc.and_(
+            pc.greater_equal(stats.column("n_tokens"), 5),
+            pc.greater_equal(n_chars, 30),
+        ),
+        pc.and_(
+            pc.greater_equal(pc.multiply(stats.column("n_alpha"), 2), n_chars),
+            pc.less_equal(
+                pc.multiply(stats.column("n_punct"), 20), pc.multiply(n_chars, 3)
+            ),
+        ),
+    )
+    return stats.append_column("quality_ok", pc.cast(ok, pa.bool_()))
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint: md5 over lowercased, whitespace-collapsed text
+    (deterministic, byte-exact across engines)."""
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(batch.column("text"))), r"\s+", " "
+    )
+    digests = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(digests, pa.string()),
+        }
+    )
+
+
+# -- language id (heuristic; no SQL equivalent — rows-only oracle) ----------
+
+_SCRIPT_RANGES = (
+    ("zh", 0x4E00, 0x9FFF),
+    ("ja", 0x3040, 0x30FF),
+    ("ko", 0xAC00, 0xD7AF),
+    ("ru", 0x0400, 0x04FF),
+    ("el", 0x0370, 0x03FF),
+    ("ar", 0x0600, 0x06FF),
+    ("he", 0x0590, 0x05FF),
+)
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf"},
+    "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "una", "por"},
+}
+
+
+def guess_lang(text: str) -> str:
+    if not text:
+        return "und"
+    counts: dict[str, int] = {}
+    for ch in text[:2000]:
+        cp = ord(ch)
+        for lang, lo, hi in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                counts[lang] = counts.get(lang, 0) + 1
+                break
+    if counts:
+        best = max(counts, key=counts.get)
+        if counts[best] * 10 >= min(len(text), 2000):
+            return best
+    words = set(text[:2000].lower().split())
+    best_lang, best_hits = "en", 0
+    for lang, sw in _STOPWORDS.items():
+        hits = len(words & sw)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits else "en"
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    langs = [guess_lang(t or "") for t in batch.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_guess": pa.array(langs, pa.string()),
+        }
+    )

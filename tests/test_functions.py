@@ -1,0 +1,166 @@
+"""Tests for the training-data operator layer: text stats, dedup (exact /
+MinHash / SimHash), similarity search, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzi_rd.functions import dedup, multimodal, simsearch, textstats
+
+
+def _docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            "text": pa.array(rows, pa.string()),
+        }
+    )
+
+
+def test_token_stats():
+    t = textstats.token_stats_batch(
+        _docs_table(["Hello, World! 42", "", "   ", "a b  c"])
+    )
+    assert t.column("n_tokens").to_pylist() == [3, 0, 0, 3]
+    assert t.column("n_punct").to_pylist() == [2, 0, 0, 0]
+    assert t.column("n_digit").to_pylist() == [2, 0, 0, 0]
+    assert t.column("n_upper").to_pylist() == [2, 0, 0, 0]
+
+
+def test_quality_gate():
+    good = "This is a perfectly reasonable sentence with enough words."
+    bad_punct = "a.... b;;;; c!!!! d???? e::::.... more!!!!"
+    t = textstats.quality_batch(_docs_table([good, bad_punct, "short"]))
+    assert t.column("quality_ok").to_pylist() == [True, False, False]
+
+
+def test_lang_guess():
+    assert textstats.guess_lang("这是一段中文文本，用于测试语言识别") == "zh"
+    assert textstats.guess_lang("Русский текст для проверки") == "ru"
+    assert textstats.guess_lang("the cat sat on the mat with it") == "en"
+    assert textstats.guess_lang("") == "und"
+
+
+def test_minhash_similarity_monotone():
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about ray data pipelines " * 20
+    s_base = dedup.minhash_signature(dedup.char_shingles(base))
+    s_near = dedup.minhash_signature(dedup.char_shingles(near))
+    s_far = dedup.minhash_signature(dedup.char_shingles(far))
+    sim_near = (s_base == s_near).mean()
+    sim_far = (s_base == s_far).mean()
+    assert sim_near > 0.5
+    assert sim_far < 0.2
+
+
+def test_exact_jaccard():
+    a = dedup.char_shingles("hello world hello world")
+    b = dedup.char_shingles("hello world hello world")
+    assert dedup.jaccard(a, b) == 1.0
+
+
+def test_simhash_hamming():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("dog", "cat")
+    far = "orthogonal corpus with other words entirely " * 10
+    h_base = dedup.simhash64(base)
+    h_near = dedup.simhash64(near)
+    h_far = dedup.simhash64(far)
+    assert bin(h_base ^ h_near).count("1") < bin(h_base ^ h_far).count("1")
+
+
+def test_minhash_dedup_ray(ray_session):
+    import ray
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    texts = [base, base.replace("lazy", "sleepy"), "unrelated " * 50, base]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    clusters = dedup.minhash_dedup(ds, threshold=0.65)
+    members = {d for d, _ in clusters}
+    assert {0, 1, 3} <= members
+    assert 2 not in members
+    reps = {r for _, r in clusters}
+    assert reps == {0}
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_docs_table(["a", "b", "a", "c", "b"]))
+    out = {r["text_hash"]: r["min(doc_id)"] for r in dedup.exact_dedup(ds).take_all()}
+    assert len(out) == 3
+    assert sorted(out.values()) == [0, 1, 3]
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray
+
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((100, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    query = mat[0].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    got = simsearch.brute_force_topk(ds, query, k=5)
+    m = mat.astype(np.float64)
+    sims = (m @ query) / (np.linalg.norm(m, axis=1) * np.linalg.norm(query))
+    want = np.argsort(-sims)[:5]
+    assert [r["vec_id"] for r in got] == list(want)
+    assert got[0]["vec_id"] == 0
+
+
+def test_lsh_topk_contains_query(ray_session):
+    import ray
+
+    rng = np.random.RandomState(11)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = simsearch.lsh_topk(ds, mat[3].astype(np.float64), k=5)
+    assert got[0]["vec_id"] == 3  # the query vector itself is always in its bucket
+
+
+def test_media_decode_plumbing(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(multimodal.synth_media_table(30))
+    out = ds.map_batches(
+        multimodal.DecodeImage, batch_size=8, batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).take_all()
+    assert len(out) == 30
+    assert all(r["decode_ok"] for r in out)
+    assert all(64 <= r["width"] for r in out)
+    # deterministic: same payload -> same fake decode
+    again = ds.map_batches(
+        multimodal.DecodeImage, batch_size=8, batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).take_all()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_media_real_backend_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImage(backend="real")
+
+
+def test_frame_sampling_expands_rows(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(multimodal.synth_media_table(10))
+    out = ds.map_batches(
+        multimodal.SampleFrames, batch_size=4, batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).take_all()
+    assert len(out) >= 10
+    assert {"media_id", "frame_index", "frame"} == set(out[0])
