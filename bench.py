@@ -1,0 +1,258 @@
+"""Benchmark harness.
+
+Default mode: run the headline pipelines in THIS process
+(ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)) over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) plus the synthesized bench page
+table, and print ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "mb_per_sec": ...}
+
+--scaling: run the extraction pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on identical input and report both
+throughputs + scaling efficiency (the sandbox proxy for the north_rule's
+N-node vs 4N-node criterion); results are appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "100000"))
+SCALING_PAGE_ROWS = int(os.environ.get("FUZI_SCALING_PAGES", "400000"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _ensure_pages(n_rows: int) -> str:
+    """Generate (once, cached in /tmp) the deterministic bench page table.
+    Generation runs as parallel Ray tasks when a session is up."""
+    out = pathlib.Path(f"/tmp/fuzi_rd_bench_pages_{n_rows}")
+    rows_per_file = max(n_rows // 64, 100)
+    shards = []
+    start = 0
+    i = 0
+    while start < n_rows:
+        n = min(rows_per_file, n_rows - start)
+        shards.append((i, start, n))
+        start += n
+        i += 1
+    missing = [
+        s for s in shards if not (out / f"pages-{s[0]:05d}.parquet").exists()
+    ]
+    if missing:
+        out.mkdir(parents=True, exist_ok=True)
+        import ray
+
+        from fuzi_rd.sources.pages import pages_table
+
+        @ray.remote
+        def gen(shard, start, n):
+            import pyarrow.parquet as pq
+
+            tbl = pages_table(n, start=start)
+            pq.write_table(
+                tbl, out / f"pages-{shard:05d}.parquet", compression="zstd"
+            )
+
+        if ray.is_initialized():
+            ray.get([gen.remote(*s) for s in missing])
+        else:
+            for s in missing:
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    pages_table(s[2], start=s[1]),
+                    out / f"pages-{s[0]:05d}.parquet",
+                    compression="zstd",
+                )
+    return str(out)
+
+
+def run_extraction_bench(num_cpus: int, n_rows: int = BENCH_PAGE_ROWS) -> dict:
+    """Headline: full extraction job (read -> extract -> partitioned write
+    + manifests).  Returns wall seconds + docs/sec."""
+    import ray
+
+    pages = _ensure_pages(n_rows)
+    total_bytes = sum(p.stat().st_size for p in pathlib.Path(pages).glob("*.parquet"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    from fuzi_rd.pipelines.extraction import run_extraction
+
+    out_dir = f"/tmp/fuzi_rd_bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    roll = run_extraction(
+        pages,
+        out_dir,
+        num_parts=64,
+        resume=False,
+        batch_size=64,
+        run_id=f"bench-{num_cpus}",
+    )
+    wall = time.monotonic() - t0
+    return {
+        "wall_s": wall,
+        "rows": roll["rows"],
+        "ok_rows": roll["ok_rows"],
+        "docs_per_sec": roll["rows"] / wall,
+        "mb_per_sec": roll["bytes_in"] / wall / 1e6,
+        "bytes_in": roll["bytes_in"],
+        "input_parquet_bytes": total_bytes,
+        "num_cpus": num_cpus,
+        "n_pages": n_rows,
+    }
+
+
+def run_query_bench(sf_dir: str) -> dict:
+    """Per-query wall times over the testdata tables."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    picked = [
+        "doc_token_stats",
+        "doc_quality",
+        "dedup_exact",
+        "minhash_bands",
+        "simhash_pairs",
+        "q1_lineitem",
+        "events_rollup",
+        "orders_by_nation",
+        "sim_topk",
+        "lsh_topk",
+    ]
+    times = {}
+    for name in picked:
+        t0 = time.monotonic()
+        result = qs[name](sf_dir)
+        if hasattr(result, "materialize"):
+            result.materialize()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main_bench() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    ext = run_extraction_bench(NUM_CPUS)
+    queries = {"extract_pages": round(ext["wall_s"], 3)}
+    queries.update(run_query_bench(SF_DIR))
+    out = {
+        "metric": "extraction pipeline wall time (20k synthesized pages, read->extract->write+manifests)",
+        "value": round(ext["wall_s"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(ext["docs_per_sec"], 1),
+        "mb_per_sec": round(ext["mb_per_sec"], 2),
+        "n_pages": ext["n_pages"],
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs on identical input; efficiency =
+    (docs/s @32) / (4 x docs/s @8)."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    _ensure_pages(SCALING_PAGE_ROWS)  # generate once, outside timing
+    ray.shutdown()
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env={**os.environ, "FUZI_BENCH_PAGES": str(SCALING_PAGE_ROWS)},
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            sys.exit(1)
+    eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+    out = {
+        "metric": "scaling efficiency 8->32 cpus (fresh processes, identical input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs_per_sec_8": round(results[8]["docs_per_sec"], 1),
+        "docs_per_sec_32": round(results[32]["docs_per_sec"], 1),
+        "wall_s_8": round(results[8]["wall_s"], 2),
+        "wall_s_32": round(results[32]["wall_s"], 2),
+        "n_pages": SCALING_PAGE_ROWS,
+    }
+    print(json.dumps(out))
+    _record_scaling(out)
+
+
+def _record_scaling(out: dict) -> None:
+    bench_md = REPO / "BENCH" / "BASELINE.md"
+    bench_md.parent.mkdir(exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        f"\n## Scaling run {stamp}\n",
+        "| cpus | wall s | docs/s |\n|---|---|---|\n",
+        f"| 8 | {out['wall_s_8']} | {out['docs_per_sec_8']} |\n",
+        f"| 32 | {out['wall_s_32']} | {out['docs_per_sec_32']} |\n",
+        f"\nEfficiency (docs/s@32) / (4 x docs/s@8) = **{out['value']}**"
+        f" (target >= 0.8) over {out['n_pages']} identical synthesized pages.\n",
+    ]
+    if not bench_md.exists():
+        lines.insert(
+            0,
+            "# BENCH results\n\nMeasured by `python bench.py --scaling` "
+            "(fresh ray.init processes at 8 and 32 CPUs, identical input; "
+            "sandbox proxy for the N vs 4N cluster-size criterion).\n",
+        )
+    with open(bench_md, "a") as f:
+        f.writelines(lines)
+
+
+def main_scaling_child(cpus: int) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    res = run_extraction_bench(cpus)
+    print(json.dumps(res))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        main_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

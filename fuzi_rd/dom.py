@@ -56,6 +56,7 @@ class Arena:
         "encoding",
         "is_html",
         "_finished",
+        "_appenders",
     )
 
     def __init__(self, is_html: bool = False):
@@ -81,6 +82,26 @@ class Arena:
         self.encoding = None
         self.is_html = is_html
         self._finished = False
+        # bound .append methods cached once: add_node is the hottest call in
+        # the parse path (one call per DOM node)
+        self._appenders = (
+            self.types.append,
+            self.names.append,
+            self.texts.append,
+            self.parents.append,
+            self.first_child.append,
+            self.last_child.append,
+            self.next_sib.append,
+            self.prev_sib.append,
+            self.subtree_end.append,
+            self.lines.append,
+            self.attrs.append,
+            self.attr_order.append,
+            self.ns_prefix.append,
+            self.ns_uri.append,
+            self.nsdefs.append,
+            self.dead.append,
+        )
 
     # -- construction (called by the parsers) --------------------------------
 
@@ -98,22 +119,27 @@ class Arena:
         nsdefs=None,
     ) -> int:
         nid = len(self.types)
-        self.types.append(node_type)
-        self.names.append(name)
-        self.texts.append(text)
-        self.parents.append(parent)
-        self.first_child.append(_NULL)
-        self.last_child.append(_NULL)
-        self.next_sib.append(_NULL)
-        self.prev_sib.append(_NULL)
-        self.subtree_end.append(nid + 1)
-        self.lines.append(line)
-        self.attrs.append(attrs)
-        self.attr_order.append(attr_order)
-        self.ns_prefix.append(ns_prefix)
-        self.ns_uri.append(ns_uri)
-        self.nsdefs.append(nsdefs)
-        self.dead.append(False)
+        (
+            ap_types, ap_names, ap_texts, ap_parents, ap_fc, ap_lc, ap_ns,
+            ap_ps, ap_se, ap_lines, ap_attrs, ap_ao, ap_nsp, ap_nsu, ap_nsd,
+            ap_dead,
+        ) = self._appenders
+        ap_types(node_type)
+        ap_names(name)
+        ap_texts(text)
+        ap_parents(parent)
+        ap_fc(_NULL)
+        ap_lc(_NULL)
+        ap_ns(_NULL)
+        ap_ps(_NULL)
+        ap_se(nid + 1)
+        ap_lines(line)
+        ap_attrs(attrs)
+        ap_ao(attr_order)
+        ap_nsp(ns_prefix)
+        ap_nsu(ns_uri)
+        ap_nsd(nsdefs)
+        ap_dead(False)
         # link into the sibling chain
         if parent != _NULL:
             prev = self.last_child[parent]

@@ -19,13 +19,11 @@ the observable behavior the reference test-suite pins down
   * whitespace text nodes preserved inside head/body (the reference counts
     them: Tests/HTMLTests.swift:113-120)
 
-The tokenizer is the stdlib ``html.parser.HTMLParser`` (regex-driven C-free
-but fast); all tree construction logic here is original.
+The tokenizer is the one-shot scanner in ``fuzi_rd.html_tokenizer`` (~2x the
+stdlib ``html.parser`` throughput); this module owns all tree construction.
 """
 
 from __future__ import annotations
-
-from html.parser import HTMLParser
 
 from fuzi_rd.dom import COMMENT, ELEMENT, PI, TEXT, Arena
 from fuzi_rd.errors import ParseError
@@ -71,9 +69,12 @@ _AUTOCLOSE = {
 }
 
 
-class _HTMLBuilder(HTMLParser):
+class _HTMLBuilder:
+    """Tree builder; driven by fuzi_rd.html_tokenizer.tokenize (which
+    decodes entities and lowercases names before calling in)."""
+
     def __init__(self):
-        super().__init__(convert_charrefs=True)
+        self.cur_line = 1
         self.arena = Arena(is_html=True)
         self.stack = [0]  # node ids; document node at bottom
         self.tags = [None]  # parallel tag-name stack
@@ -144,7 +145,7 @@ class _HTMLBuilder(HTMLParser):
     # -- token handlers ------------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
-        line = self.getpos()[0]
+        line = self.cur_line
         if tag == "html":
             if self.html_id == _NULL:
                 self.html_id = self._open("html", attrs, line)
@@ -226,7 +227,7 @@ class _HTMLBuilder(HTMLParser):
             # forces an implicit body
             if data.strip() == "":
                 return
-            self._ensure_body(self.getpos()[0])
+            self._ensure_body(self.cur_line)
         self.arena.append_text(self.stack[-1], data)
 
     def handle_comment(self, data):
@@ -259,9 +260,11 @@ def parse_html_bytes(data, encoding: str | None = None) -> Arena:
         declared = "UTF-8"
         if not text:
             raise ParseError("parserFailure: empty input")
+    from fuzi_rd.html_tokenizer import tokenize
+
     builder = _HTMLBuilder()
     try:
-        builder.feed(text)
+        tokenize(text, builder)
     except Exception:
         # recovery: keep partial tree (libxml2 RECOVER semantics)
         pass

@@ -59,15 +59,27 @@ def extract_dataset(
     concurrency=None,
     batch_size: int = 32,
     num_parts: int = DEFAULT_NUM_PARTS,
-    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    skew_threshold: int | None = None,
     skip_parts: set[int] | None = None,
 ):
-    """Wire the extraction stages onto an input Dataset (lazy)."""
+    """Wire the extraction stages onto an input Dataset (lazy).
+
+    ``skew_threshold``: when set, rows with ``len(html) > threshold`` are
+    routed to a separate batch_size=1 actor-pool branch so one giant
+    tag-soup page cannot stall a whole batch of ordinary pages (explicit
+    skew handling per SURVEY.md §4.2).  The large branch's pool is sized to
+    a fraction of the cluster — both branches must never demand more actors
+    than there are CPUs, or the pools deadlock waiting for resources.
+    Default None: single stage (per-batch cost is already bounded by
+    batch_size; enable routing when the input has a heavy size tail)."""
     import ray
 
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, n_cpus))
+        # autoscaling floor at half the CPUs: a floor of 1 wastes the first
+        # seconds ramping up (measured 3x slower on short jobs), while a
+        # fixed pool of n_cpus deadlocks the read tasks that feed it
+        concurrency = (max(1, n_cpus // 2), max(1, n_cpus))
 
     ds = ds.map_batches(_with_meta(num_parts), batch_format="pyarrow")
     if skip_parts:
@@ -77,14 +89,18 @@ def extract_dataset(
     kwargs = dict(
         fn_constructor_kwargs={"recipe": recipe, "num_parts": num_parts},
         batch_format="pyarrow",
-        concurrency=concurrency,
         num_cpus=1,
     )
+    if skew_threshold is None:
+        return ds.map_batches(
+            ExtractPages, batch_size=batch_size, concurrency=concurrency, **kwargs
+        )
+    large_conc = (1, max(1, n_cpus // 8))
     small = ds.filter(expr=f"n_bytes <= {skew_threshold}").map_batches(
-        ExtractPages, batch_size=batch_size, **kwargs
+        ExtractPages, batch_size=batch_size, concurrency=concurrency, **kwargs
     )
     large = ds.filter(expr=f"n_bytes > {skew_threshold}").map_batches(
-        ExtractPages, batch_size=1, **kwargs
+        ExtractPages, batch_size=1, concurrency=large_conc, **kwargs
     )
     return small.union(large)
 
@@ -96,7 +112,7 @@ def run_extraction(
     concurrency=None,
     batch_size: int = 32,
     num_parts: int = DEFAULT_NUM_PARTS,
-    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    skew_threshold: int | None = None,
     resume: bool = True,
     run_id: str = "run",
 ) -> dict:
@@ -125,12 +141,66 @@ def run_extraction(
         skew_threshold=skew_threshold,
         skip_parts=completed,
     )
-    result.write_parquet(str(out), partition_cols=["part"])
 
-    _write_manifests(out_dir, exclude=completed, run_id=run_id)
+    # One writer task per url-hash partition: exactly one parquet file per
+    # partition per run (no tiny-file explosion), and per-partition stats
+    # come back as the task's return value — no output re-scan needed.
+    # The groupby shuffle moves only the *extracted* output, never the html.
+    out.mkdir(parents=True, exist_ok=True)
+    stats_ds = result.groupby("part").map_groups(
+        _part_writer(str(out)), batch_format="pyarrow"
+    )
+    for row in stats_ds.take_all():  # O(num_parts) rows
+        mf.write_manifest(
+            out_dir,
+            row["part"],
+            {
+                "run_id": run_id,
+                "rows": row["rows"],
+                "ok_rows": row["ok_rows"],
+                "error_rows": row["error_rows"],
+                "bytes_in": row["bytes_in"],
+                "bytes_out": row["bytes_out"],
+                "text_checksum": row["text_checksum"],
+            },
+        )
     roll = mf.rollup(out_dir)
     roll["wall_s"] = time.monotonic() - t0
     return roll
+
+
+def _part_writer(out_dir: str):
+    """Writer for one url-hash partition group: writes the partition's data
+    file, returns its lineage stats row."""
+    import pyarrow.parquet as pq
+
+    def write_part(group: pa.Table) -> pa.Table:
+        part = group.column("part")[0].as_py()
+        pdir = Path(out_dir) / f"part={part}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        data = group.drop_columns(["part"])
+        path = pdir / "data-0.parquet"
+        pq.write_table(data, path, compression="zstd")
+        status = group.column("status").to_pylist()
+        ok = sum(1 for s in status if s == "ok")
+        checksum = sum(group.column("text_hash").to_pylist()) % (2**64)
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows": pa.array([len(group)], pa.int64()),
+                "ok_rows": pa.array([ok], pa.int64()),
+                "error_rows": pa.array([len(group) - ok], pa.int64()),
+                "bytes_in": pa.array(
+                    [sum(group.column("html_bytes").to_pylist())], pa.int64()
+                ),
+                "bytes_out": pa.array(
+                    [sum(group.column("text_len").to_pylist())], pa.int64()
+                ),
+                "text_checksum": pa.array([checksum], pa.uint64()),
+            }
+        )
+
+    return write_part
 
 
 def _clean_incomplete_parts(out_dir: str, completed: set[int], num_parts: int):
@@ -148,73 +218,3 @@ def _clean_incomplete_parts(out_dir: str, completed: set[int], num_parts: int):
             shutil.rmtree(d, ignore_errors=True)
 
 
-def _write_manifests(out_dir: str, exclude: set[int], run_id: str):
-    """Aggregate per-partition stats from the written output (a cheap column
-    scan — never re-runs extraction) and write one manifest per partition."""
-    import ray
-
-    stats_ds = ray.data.read_parquet(
-        str(out_dir),
-        columns=["part", "status", "html_bytes", "text_len", "text_hash"],
-    )
-
-    def agg(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        parts = {}
-        part_col = batch.column("part").to_pylist()
-        status = batch.column("status").to_pylist()
-        hb = batch.column("html_bytes").to_pylist()
-        tl = batch.column("text_len").to_pylist()
-        th = batch.column("text_hash").to_pylist()
-        for i, p in enumerate(part_col):
-            s = parts.setdefault(int(p), [0, 0, 0, 0, 0, 0])
-            s[0] += 1
-            if status[i] == "ok":
-                s[1] += 1
-            else:
-                s[2] += 1
-            s[3] += hb[i]
-            s[4] += tl[i]
-            s[5] = (s[5] + th[i]) % (2**64)
-        return pa.table(
-            {
-                "part": pa.array(list(parts), pa.int32()),
-                "rows": pa.array([v[0] for v in parts.values()], pa.int64()),
-                "ok_rows": pa.array([v[1] for v in parts.values()], pa.int64()),
-                "error_rows": pa.array([v[2] for v in parts.values()], pa.int64()),
-                "bytes_in": pa.array([v[3] for v in parts.values()], pa.int64()),
-                "bytes_out": pa.array([v[4] for v in parts.values()], pa.int64()),
-                "checksum": pa.array([v[5] for v in parts.values()], pa.uint64()),
-            }
-        )
-
-    # partial per-block aggregation, then a tiny final combine on the driver
-    # (num_parts rows — never the data itself)
-    partial = stats_ds.map_batches(agg, batch_format="pyarrow")
-    final: dict[int, list] = {}
-    for batch in partial.iter_batches(batch_format="pyarrow"):
-        for row in batch.to_pylist():
-            s = final.setdefault(row["part"], [0, 0, 0, 0, 0, 0])
-            s[0] += row["rows"]
-            s[1] += row["ok_rows"]
-            s[2] += row["error_rows"]
-            s[3] += row["bytes_in"]
-            s[4] += row["bytes_out"]
-            s[5] = (s[5] + row["checksum"]) % (2**64)
-    for part, s in final.items():
-        if part in exclude:
-            continue
-        mf.write_manifest(
-            out_dir,
-            part,
-            {
-                "run_id": run_id,
-                "rows": s[0],
-                "ok_rows": s[1],
-                "error_rows": s[2],
-                "bytes_in": s[3],
-                "bytes_out": s[4],
-                "text_checksum": s[5],
-            },
-        )

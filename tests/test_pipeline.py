@@ -106,6 +106,40 @@ def test_resume_recomputes_only_missing(ray_session, extracted, tmp_path):
     assert len(mf.read_manifests(crash)) == NUM_PARTS
 
 
+def test_skew_routing_branch(ray_session, tmp_path):
+    """Oversized pages go down the batch_size=1 branch; results identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from fuzi_rd.pipelines.extraction import extract_dataset
+
+    big_body = b"<p>" + b"huge page content word " * 20000 + b"</p>"
+    tbl = pa.table(
+        {
+            "url": [f"https://x.test/{i}" for i in range(10)]
+            + ["https://x.test/huge"],
+            "html": [
+                b"<html><body><p>small page with plenty of content text</p></body></html>"
+            ]
+            * 10
+            + [b"<html><body>" + big_body + b"</body></html>"],
+        }
+    )
+    p = tmp_path / "skew.parquet"
+    pq.write_table(tbl, p)
+    ds = ray.data.read_parquet(str(p))
+    rows = {
+        r["url"]: r
+        for r in extract_dataset(
+            ds, concurrency=(1, 2), skew_threshold=10_000
+        ).take_all()
+    }
+    assert len(rows) == 11
+    assert rows["https://x.test/huge"]["status"] == "ok"
+    assert rows["https://x.test/huge"]["text_len"] > 100_000
+
+
 def test_error_rows_do_not_poison(ray_session, tmp_path):
     """A row whose html explodes the parser becomes status='error'; the rest
     of its batch is unaffected (SURVEY.md §4.2 poison-pill tolerance)."""
