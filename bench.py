@@ -101,7 +101,7 @@ def run_extraction_bench(num_cpus: int, n_rows: int = BENCH_PAGE_ROWS) -> dict:
         out_dir,
         num_parts=64,
         resume=False,
-        batch_size=64,
+        batch_size=256,
         run_id=f"bench-{num_cpus}",
     )
     wall = time.monotonic() - t0

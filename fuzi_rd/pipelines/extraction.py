@@ -142,65 +142,100 @@ def run_extraction(
         skip_parts=completed,
     )
 
-    # One writer task per url-hash partition: exactly one parquet file per
-    # partition per run (no tiny-file explosion), and per-partition stats
-    # come back as the task's return value — no output re-scan needed.
-    # The groupby shuffle moves only the *extracted* output, never the html.
+    # Shuffle-free partitioned write: each writer task splits its batch by
+    # url-hash part and appends one file per (task, part), named by a
+    # content hash of the rows so task retries overwrite idempotently.
+    # Only TINY per-(task, part) stat rows go through the groupby — the
+    # extracted text itself never crosses an all-to-all exchange (at 100 TB
+    # that shuffle would move the entire output corpus).
     out.mkdir(parents=True, exist_ok=True)
-    stats_ds = result.groupby("part").map_groups(
-        _part_writer(str(out)), batch_format="pyarrow"
+    # writer batch ~16x the extract batch: big enough that per-part files
+    # are not row-sized, small enough that write tasks start early and run
+    # wide (a single huge writer batch serializes the tail of the job)
+    stats_ds = result.map_batches(
+        _block_writer(str(out)), batch_size=max(batch_size * 16, 2048),
+        batch_format="pyarrow",
     )
-    for row in stats_ds.take_all():  # O(num_parts) rows
-        mf.write_manifest(
-            out_dir,
-            row["part"],
-            {
-                "run_id": run_id,
-                "rows": row["rows"],
-                "ok_rows": row["ok_rows"],
-                "error_rows": row["error_rows"],
-                "bytes_in": row["bytes_in"],
-                "bytes_out": row["bytes_out"],
-                "text_checksum": row["text_checksum"],
-            },
-        )
+    agg = {}
+    for row in stats_ds.take_all():  # O(tasks x parts-per-task) tiny rows
+        p = row["part"]
+        if p not in agg:
+            agg[p] = {
+                "run_id": run_id, "rows": 0, "ok_rows": 0, "error_rows": 0,
+                "bytes_in": 0, "bytes_out": 0, "text_checksum": 0,
+            }
+        a = agg[p]
+        a["rows"] += row["rows"]
+        a["ok_rows"] += row["ok_rows"]
+        a["error_rows"] += row["error_rows"]
+        a["bytes_in"] += row["bytes_in"]
+        a["bytes_out"] += row["bytes_out"]
+        a["text_checksum"] = (a["text_checksum"] + row["text_checksum"]) % (2**63)
+    for part, stats in agg.items():
+        mf.write_manifest(out_dir, part, stats)
     roll = mf.rollup(out_dir)
     roll["wall_s"] = time.monotonic() - t0
     return roll
 
 
-def _part_writer(out_dir: str):
-    """Writer for one url-hash partition group: writes the partition's data
-    file, returns its lineage stats row."""
+def _block_writer(out_dir: str):
+    """Writer task: split one batch by url-hash part, append one parquet
+    file per (task, part) with a deterministic content-hash name (retries
+    rewrite the same file — idempotent), return tiny per-part stat rows.
+
+    The per-row ``text_hash`` checksum is summed, so per-part checksums are
+    order- and file-layout-independent: resumed or differently-batched runs
+    produce identical manifests for identical extracted text."""
     import pyarrow.parquet as pq
 
-    def write_part(group: pa.Table) -> pa.Table:
-        part = group.column("part")[0].as_py()
-        pdir = Path(out_dir) / f"part={part}"
-        pdir.mkdir(parents=True, exist_ok=True)
-        data = group.drop_columns(["part"])
-        path = pdir / "data-0.parquet"
-        pq.write_table(data, path, compression="zstd")
-        status = group.column("status").to_pylist()
-        ok = sum(1 for s in status if s == "ok")
-        checksum = sum(group.column("text_hash").to_pylist()) % (2**64)
+    def write_block(batch: pa.Table) -> pa.Table:
+        # one sort + zero-copy slices per part (vs a full filter pass per
+        # part, which costs O(parts x rows))
+        batch = batch.combine_chunks().sort_by("part")
+        part_np = batch.column("part").to_numpy()
+        rows = {
+            "part": [], "rows": [], "ok_rows": [], "error_rows": [],
+            "bytes_in": [], "bytes_out": [], "text_checksum": [],
+        }
+        import numpy as np
+
+        uniq, starts = np.unique(part_np, return_index=True)
+        bounds = list(starts) + [len(batch)]
+        for j, part in enumerate(uniq.tolist()):
+            sub = batch.slice(bounds[j], bounds[j + 1] - bounds[j])
+            token = zlib.crc32("\x00".join(sub.column("url").to_pylist()).encode())
+            pdir = Path(out_dir) / f"part={part}"
+            pdir.mkdir(parents=True, exist_ok=True)
+            pq.write_table(
+                sub.drop_columns(["part"]),
+                pdir / f"data-{token:08x}-{len(sub)}.parquet",
+                compression="zstd",
+            )
+            ok = pc.sum(
+                pc.cast(pc.equal(sub.column("status"), "ok"), pa.int64())
+            ).as_py() or 0
+            rows["part"].append(part)
+            rows["rows"].append(len(sub))
+            rows["ok_rows"].append(ok)
+            rows["error_rows"].append(len(sub) - ok)
+            rows["bytes_in"].append(pc.sum(sub.column("html_bytes")).as_py() or 0)
+            rows["bytes_out"].append(pc.sum(sub.column("text_len")).as_py() or 0)
+            rows["text_checksum"].append(
+                (pc.sum(sub.column("text_hash")).as_py() or 0) % (2**63)
+            )
         return pa.table(
             {
-                "part": pa.array([part], pa.int32()),
-                "rows": pa.array([len(group)], pa.int64()),
-                "ok_rows": pa.array([ok], pa.int64()),
-                "error_rows": pa.array([len(group) - ok], pa.int64()),
-                "bytes_in": pa.array(
-                    [sum(group.column("html_bytes").to_pylist())], pa.int64()
-                ),
-                "bytes_out": pa.array(
-                    [sum(group.column("text_len").to_pylist())], pa.int64()
-                ),
-                "text_checksum": pa.array([checksum], pa.uint64()),
+                "part": pa.array(rows["part"], pa.int32()),
+                "rows": pa.array(rows["rows"], pa.int64()),
+                "ok_rows": pa.array(rows["ok_rows"], pa.int64()),
+                "error_rows": pa.array(rows["error_rows"], pa.int64()),
+                "bytes_in": pa.array(rows["bytes_in"], pa.int64()),
+                "bytes_out": pa.array(rows["bytes_out"], pa.int64()),
+                "text_checksum": pa.array(rows["text_checksum"], pa.int64()),
             }
         )
 
-    return write_part
+    return write_block
 
 
 def _clean_incomplete_parts(out_dir: str, completed: set[int], num_parts: int):

@@ -17,7 +17,7 @@ ones and writes their manifests.  Manifest content:
     {run_id, part, rows, ok_rows, error_rows, bytes_in, bytes_out,
      text_checksum}
 
-`text_checksum` is the sum of per-row crc32(extracted_text) mod 2^64 —
+`text_checksum` is the sum of per-row crc32(extracted_text) mod 2^63 —
 order-independent, so it is stable across block orderings and can be
 re-aggregated from the output alone.
 """
