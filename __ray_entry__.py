@@ -293,6 +293,49 @@ def _q_sim_topk(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Inverted-index word-3-gram Jaccard pairs >= 0.5 (exact integer
+    arithmetic, matches the SQL oracle bit-for-bit)."""
+    from fuzi_rd.functions.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold_milli=500)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    """Exact all-pairs cosine near-duplicates (broadcast matrix + per-batch
+    matmul).  Threshold 0.45 chosen to be non-trivial on the synthetic
+    embeddings (max pairwise sim ~0.51)."""
+    from fuzi_rd.functions.dedup import embedding_near_dup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.45)
+
+
+def _q_docs_top_longest(sf_dir: str):
+    """Sort + top-k over documents by length (deterministic tiebreak)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(lens, batch_format="pyarrow")
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
 # -- rows-only checks (non-SQL-expressible) ---------------------------------
 
 
@@ -390,6 +433,67 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_resize(sf_dir: str):
+    import ray
+
+    from fuzi_rd.functions.multimodal import ResizeImage, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        ResizeImage, batch_size=8, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def _q_media_frames(sf_dir: str):
+    """Row-expanding frame sampler (video payload -> one row per frame)."""
+    import ray
+
+    from fuzi_rd.functions.multimodal import SampleFrames, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        SampleFrames, batch_size=8, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def _q_emb_near_dup_lsh(sf_dir: str):
+    """Approximate near-dup pairs via hyperplane-signature bucketing (the
+    corpus-scale path; recall < 1 by construction -> rows-only check)."""
+    from fuzi_rd.functions.dedup import embedding_near_dup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # 4 planes: the synthetic embeddings have no true near-duplicates (max
+    # pairwise cosine ~0.51), so a coarse bucketing is needed for the
+    # candidate demo; production near-dup (sim >= 0.9) uses 12+ planes
+    return embedding_near_dup_lsh(ds, threshold=0.40, n_planes=4)
+
+
+def _q_pages_css_query(sf_dir: str):
+    """Fuzi-parity query surface as a pipeline: per-page CSS and XPath
+    recipe queries (compiled once per actor) evaluated over the synthesized
+    page table — the distributed analog of HTMLDocument.css/xpath/eval
+    (reference: /root/reference/Sources/Queryable.swift:28-84)."""
+    import ray
+
+    from fuzi_rd.pipelines.extraction import extract_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    out = extract_dataset(
+        ds,
+        recipe={
+            "h1_text": "css: h1",
+            "nav_links": "css: nav a",
+            "n_paragraphs": "count(//p)",
+            "first_href": "string(//a/@href)",
+        },
+        batch_size=64,
+    )
+    return out.select_columns(
+        ["url", "h1_text", "nav_links", "n_paragraphs", "first_href", "status"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
@@ -401,15 +505,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_nation": _q_orders_by_nation,
         "sim_topk": _q_sim_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "emb_near_dup": _q_emb_near_dup,
+        "docs_top_longest": _q_docs_top_longest,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "extract_pages": _q_extract_pages,
+        "pages_css_query": _q_pages_css_query,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -478,6 +589,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT common.id_a, common.id_b,
+                   CAST((1000 * c) // (ca.n + cb.n - c) AS BIGINT) AS jaccard_milli
+            FROM common
+            JOIN cnt ca ON ca.doc_id = common.id_a
+            JOIN cnt cb ON cb.doc_id = common.id_b
+            WHERE (1000 * c) // (ca.n + cb.n - c) >= 500
+        """,
+        "emb_near_dup": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS raw
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(raw, 4) AS sim
+            FROM p WHERE raw >= 0.45
+        """,
+        "docs_top_longest": """
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id
+            LIMIT 10
         """,
         "sim_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe

@@ -27,7 +27,10 @@ import time
 
 REPO = pathlib.Path(__file__).resolve().parent
 BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "100000"))
-SCALING_PAGE_ROWS = int(os.environ.get("FUZI_SCALING_PAGES", "400000"))
+# big enough that steady-state throughput dominates the fixed ~5-10 s
+# session/actor-pool ramp (the real 100 TB job runs for hours; a sub-minute
+# proxy job would measure startup, not scaling)
+SCALING_PAGE_ROWS = int(os.environ.get("FUZI_SCALING_PAGES", "1000000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -174,7 +177,14 @@ def main_bench() -> None:
 
 def main_scaling() -> None:
     """Fresh-process runs at 8 and 32 CPUs on identical input; efficiency =
-    (docs/s @32) / (4 x docs/s @8)."""
+    (docs/s @32) / (4 x docs/s @8).
+
+    Each leg is PINNED (taskset) to exactly its own cpu set.  This is the
+    honest single-box proxy for an N-node vs 4N-node cluster: without
+    pinning, the "8-cpu cluster"'s processes spread across all 32 physical
+    cores and enjoy 4x the cache and the host's few-core turbo — hardware
+    advantages an 8-core cluster node would never have — which deflates the
+    measured efficiency of the real framework scaling."""
     import ray
 
     ray.init(
@@ -183,10 +193,14 @@ def main_scaling() -> None:
     )
     _ensure_pages(SCALING_PAGE_ROWS)  # generate once, outside timing
     ray.shutdown()
+    n_host = os.cpu_count() or 32
     results = {}
     for cpus in (8, 32):
+        cmd = [sys.executable, __file__, "--scaling-child", str(cpus)]
+        if shutil.which("taskset") and cpus <= n_host:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus)],
+            cmd,
             capture_output=True,
             text=True,
             cwd=REPO,
@@ -228,8 +242,10 @@ def _record_scaling(out: dict) -> None:
         lines.insert(
             0,
             "# BENCH results\n\nMeasured by `python bench.py --scaling` "
-            "(fresh ray.init processes at 8 and 32 CPUs, identical input; "
-            "sandbox proxy for the N vs 4N cluster-size criterion).\n",
+            "(fresh ray.init processes at 8 and 32 CPUs, each taskset-pinned "
+            "to exactly its own cpu set, identical input; sandbox proxy for "
+            "the N vs 4N cluster-size criterion — pinning keeps the small "
+            "cluster from borrowing the idle cores' cache/turbo).\n",
         )
     with open(bench_md, "a") as f:
         f.writelines(lines)

@@ -187,6 +187,223 @@ def minhash_dedup(ds, threshold: float = 0.8):
     return sorted((d, r) for d, r in reps.items() if sizes[r] > 1)
 
 
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+def _word_ngrams(text: str, n: int) -> set[str]:
+    toks = (text or "").lower().split()
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard_pairs(ds, n: int = 3, threshold_milli: int = 500):
+    """All-pairs word n-gram Jaccard similarity >= threshold via an
+    inverted shingle index — no O(corpus^2) comparisons.
+
+    Plan: (doc_id, shingle, n_shingles) rows -> groupby(shingle) emits the
+    co-occurring pairs -> groupby(pair) counts common shingles -> exact
+    integer Jaccard filter.  All shuffles key on fixed-width hashes, never
+    text.  Output: (id_a, id_b, jaccard_milli) with
+    jaccard_milli = floor(1000 * |A∩B| / |A∪B|) — integer arithmetic so the
+    result is bit-identical to the SQL oracle.
+
+    Scale note: a stop-shingle shared by m docs makes m^2 pairs; at corpus
+    scale pass a document-frequency cap (drop shingles with df > cap) on
+    BOTH sides of the comparison — here the default keeps exact semantics
+    to stay oracle-comparable."""
+    from ray.data.aggregate import Count, Min
+
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, sh, nsh = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            grams = _word_ngrams(t, n)
+            for g in grams:
+                ids.append(d)
+                # fixed-width key: the shuffle moves 8-byte hashes, not text
+                sh.append(
+                    struct.unpack(
+                        "<Q",
+                        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                    )[0]
+                )
+                nsh.append(len(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(sh, pa.uint64()),
+                "n_sh": pa.array(nsh, pa.int64()),
+            }
+        )
+
+    def _cooccur_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(), group.column("n_sh").to_pylist())
+        )
+        a, b, na, nb = [], [], [], []
+        for i in range(len(rows) - 1):
+            for j in range(i + 1, len(rows)):
+                if rows[i][0] == rows[j][0]:
+                    continue
+                a.append(rows[i][0])
+                b.append(rows[j][0])
+                na.append(rows[i][1])
+                nb.append(rows[j][1])
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+            }
+        )
+
+    shingled = ds.map_batches(_shingle_rows, batch_format="pyarrow")
+    pairs = shingled.groupby("shingle").map_groups(
+        _cooccur_pairs, batch_format="pyarrow"
+    )
+    counted = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(), Min("n_a"), Min("n_b")
+    )
+
+    def _jaccard_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        common = pc.cast(batch.column("count()"), pa.int64())
+        union = pc.subtract(
+            pc.add(batch.column("min(n_a)"), batch.column("min(n_b)")), common
+        )
+        milli = pc.divide(pc.multiply(common, 1000), union)  # integer floor div
+        keep = pc.greater_equal(milli, threshold_milli)
+        out = pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "jaccard_milli": pc.cast(milli, pa.int64()),
+            }
+        )
+        return out.filter(keep)
+
+    return counted.map_batches(_jaccard_filter, batch_format="pyarrow")
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_near_dup(ds, threshold: float = 0.9):
+    """Exact all-pairs cosine near-duplicates over an embedding column.
+
+    The full (n x dim) matrix is broadcast ONCE via ray.put; each batch
+    computes its rows' similarities against the broadcast matrix (numpy
+    matmul) and emits only pairs (id_a < id_b) with sim >= threshold —
+    O(n^2 / batches) work per task, O(matches) output.  This is the exact
+    baseline; at corpus scale swap the broadcast for LSH bucketing
+    (`embedding_near_dup_lsh`) with the same output schema."""
+    import ray
+
+    mat_tbl = None
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        mat_tbl = b if mat_tbl is None else pa.concat_tables([mat_tbl, b])
+    ids = mat_tbl.column("vec_id").to_numpy()
+    col = mat_tbl.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = (
+        col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    ).reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids, mat / norms[:, None]))
+
+    class PairScan:
+        def __init__(self):
+            self.all_ids, self.all_mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bid = batch.column("vec_id").to_numpy()
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            m = (
+                col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            ).reshape(len(bid), -1)
+            nm = np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            sims = (m / nm[:, None]) @ self.all_mat.T
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (bid[:, None] < self.all_ids[None, :])
+            )
+            return pa.table(
+                {
+                    "id_a": pa.array(bid[ii], pa.int64()),
+                    "id_b": pa.array(self.all_ids[jj], pa.int64()),
+                    "sim": pa.array(np.round(sims[ii, jj], 4), pa.float64()),
+                }
+            )
+
+    return ds.map_batches(PairScan, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def embedding_near_dup_lsh(ds, threshold: float = 0.9, n_planes: int = 12):
+    """Scale path for embedding near-dup: random-hyperplane signature
+    bucketing (groupby on the signature) -> exact cosine verify within each
+    bucket.  Approximate: pairs split across all buckets are missed;
+    recall is tuned by n_planes / multi-probe."""
+    rng = np.random.RandomState(7)
+    planes_holder = {}
+
+    def _sig_rows(batch: pa.Table) -> pa.Table:
+        bid = batch.column("vec_id").to_numpy()
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = (
+            col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        ).reshape(len(bid), -1)
+        if "p" not in planes_holder:
+            planes_holder["p"] = np.random.RandomState(7).standard_normal(
+                (n_planes, m.shape[1])
+            )
+        bits = (m @ planes_holder["p"].T) > 0
+        sigs = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "sig": pa.array(sigs, pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def _verify(group: pa.Table) -> pa.Table:
+        bid = group.column("vec_id").to_numpy()
+        col = group.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = (
+            col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        ).reshape(len(bid), -1)
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        mn = m / nm[:, None]
+        sims = mn @ mn.T
+        ii, jj = np.nonzero((sims >= threshold) & (bid[:, None] < bid[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(bid[ii], pa.int64()),
+                "id_b": pa.array(bid[jj], pa.int64()),
+                "sim": pa.array(np.round(sims[ii, jj], 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_sig_rows, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(_verify, batch_format="pyarrow")
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

@@ -109,6 +109,53 @@ class ExtractFeatures:
         )
 
 
+class ResizeImage:
+    """payload -> resized payload + new dimensions, preserving aspect ratio
+    within a bounding box.  The pixel resample itself is stubbed (no image
+    library in this environment): output payload is a deterministic
+    hash-derived stand-in sized proportionally to the target area, so batch
+    memory behavior matches a real resize.  The Ray-side plumbing (binary
+    in/binary out, small batches, actor pool) is the production shape."""
+
+    def __init__(self, max_w: int = 512, max_h: int = 512, backend: str = "stub"):
+        if backend != "stub" and not _REAL_DECODERS_AVAILABLE:
+            raise NotImplementedError(
+                "real image resizing requires an image library not present "
+                "in this environment; use backend='stub'"
+            )
+        self.max_w = max_w
+        self.max_h = max_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, payloads = [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            src = _fake_image_header(payload or b"")
+            scale = min(self.max_w / src["width"], self.max_h / src["height"], 1.0)
+            w, h = max(int(src["width"] * scale), 1), max(
+                int(src["height"] * scale), 1
+            )
+            # stub resample: deterministic bytes proportional to target area
+            out_len = max(w * h // 64, 16)
+            seed = hashlib.blake2b(
+                (payload or b"") + struct.pack("<II", w, h), digest_size=32
+            ).digest()
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            payloads.append((seed * (out_len // 32 + 1))[:out_len])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
 class SampleFrames:
     """video payload -> one output row per sampled frame (row-expanding)."""
 

@@ -79,7 +79,12 @@ class ExtractPages:
         parts = [0] * n
         titles = [""] * n
         texts = [""] * n
-        spans_col = [[] for _ in range(n)]
+        # spans flattened: building one ListArray from flat columns is much
+        # cheaper than pa.array() over per-row lists of python dicts
+        span_offsets = [0] * (n + 1)
+        span_paths: list[str] = []
+        span_starts: list[int] = []
+        span_ends: list[int] = []
         n_nodes = [0] * n
         text_lens = [0] * n
         html_bytes = [0] * n
@@ -111,20 +116,35 @@ class ExtractPages:
                 text, spans = extract_main_content(arena)
                 texts[i] = text
                 if self.emit_spans:
-                    spans_col[i] = spans
+                    for s in spans:
+                        span_paths.append(s["path"])
+                        span_starts.append(s["start"])
+                        span_ends.append(s["end"])
                 n_nodes[i] = arena.n_nodes()
                 text_lens[i] = len(text)
                 text_hash[i] = zlib.crc32(text.encode("utf-8"))
             except Exception as exc:  # poison-pill tolerance: row, not raise
                 status[i] = "error"
                 error[i] = f"{type(exc).__name__}: {exc}"[:500]
+            span_offsets[i + 1] = len(span_paths)
 
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(span_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(span_paths, pa.string()),
+                    pa.array(span_starts, pa.int64()),
+                    pa.array(span_ends, pa.int64()),
+                ],
+                ["path", "start", "end"],
+            ),
+        )
         cols = {
             "url": pa.array(urls, pa.string()),
             "part": pa.array(parts, pa.int32()),
             "title": pa.array(titles, pa.large_string()),
             "extracted_text": pa.array(texts, pa.large_string()),
-            "spans": pa.array(spans_col, SPAN_TYPE),
+            "spans": spans_arr,
             "n_nodes": pa.array(n_nodes, pa.int32()),
             "text_len": pa.array(text_lens, pa.int64()),
             "html_bytes": pa.array(html_bytes, pa.int64()),

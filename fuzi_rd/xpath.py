@@ -655,6 +655,39 @@ def _iter_axis(arena: Arena, item, axis):
 def _eval_step(arena, env, items, step):
     """Apply one location step to a node-set; returns doc-ordered node-set."""
     _, axis, test, preds = step
+    # Fast path for the hottest shape by far (every CSS-derived descendant
+    # step, e.g. `.//h1`): unprefixed name test on the descendant axis of a
+    # live tree is one contiguous typed scan over the arena arrays instead of
+    # a generator + per-candidate match call per node.
+    if (
+        not preds
+        and (axis == "descendant" or axis == "descendant-or-self")
+        and test[0] == "name"
+        and test[1] is None
+        and arena.n_dead == 0
+    ):
+        types = arena.types
+        names = arena.names
+        ns_uri = arena.ns_uri
+        end_arr = arena.subtree_end
+        local = test[2]
+        out = []
+        last_end = -1
+        for item in items:
+            if type(item) is not int:
+                continue
+            lo = item if axis == "descendant-or-self" else item + 1
+            hi = end_arr[item]
+            if lo < last_end:  # nested context nodes: skip the overlap
+                lo = last_end
+            if hi > last_end:
+                last_end = hi
+            out.extend(
+                i
+                for i in range(lo, hi)
+                if types[i] == ELEMENT and names[i] == local and ns_uri[i] is None
+            )
+        return out
     out = []
     seen = set()
     for item in items:

@@ -130,6 +130,57 @@ def test_lsh_topk_contains_query(ray_session):
     assert got[0]["vec_id"] == 3  # the query vector itself is always in its bucket
 
 
+def test_ngram_jaccard_pairs(ray_session):
+    import ray
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    near = base.replace("delta", "kappa")  # most 3-grams shared
+    far = "one two three four five six seven eight nine ten " * 8
+    ds = ray.data.from_arrow(_docs_table([base, near, far]))
+    rows = dedup.ngram_jaccard_pairs(ds, n=3, threshold_milli=400).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_milli"] for r in rows}
+    assert (0, 1) in pairs
+    assert all(v >= 400 for v in pairs.values())
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    # exact integer check: doc 0 and a verbatim duplicate -> 1000
+    ds2 = ray.data.from_arrow(_docs_table([base, base]))
+    rows2 = dedup.ngram_jaccard_pairs(ds2, n=3, threshold_milli=900).take_all()
+    assert rows2[0]["jaccard_milli"] == 1000
+
+
+def test_embedding_near_dup_exact(ray_session):
+    import ray
+
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((60, 16)).astype(np.float32)
+    mat[7] = mat[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    rows = dedup.embedding_near_dup(ds, threshold=0.99).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(3, 7)}
+    # LSH path finds the same planted pair (same-bucket by construction)
+    lsh = dedup.embedding_near_dup_lsh(ds, threshold=0.99).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 7)}
+
+
+def test_media_resize_plumbing(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(multimodal.synth_media_table(20))
+    out = ds.map_batches(
+        multimodal.ResizeImage, batch_size=8, batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).take_all()
+    assert len(out) == 20
+    assert all(r["width"] <= 512 and r["height"] <= 512 for r in out)
+    assert all(len(r["payload"]) >= 16 for r in out)
+
+
 def test_media_decode_plumbing(ray_session):
     import ray
 

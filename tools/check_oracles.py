@@ -1,99 +1,123 @@
-"""Local replica of the driver's correctness gate: run each queries() entry
-at a given sf and compare row-count + schema + order-insensitive value hash
-against oracle_sql() via DuckDB.  Usage:
+"""Driver-contract self-check: run every queries() entry and, where an
+oracle_sql() entry exists, compare row count + schema + values against
+DuckDB over the same parquet tables (the same comparison the round driver
+performs at sf0.01).
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [sf_dir] [name ...]
 """
 
-import hashlib
+from __future__ import annotations
+
+import pathlib
 import sys
 
-import duckdb
-import pandas as pd
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-sys.path.insert(0, ".")
+import duckdb
+import pyarrow as pa
 
 TABLES = (
-    "region nation customer supplier part orders lineitem events documents"
-    " embeddings".split()
-)
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
 
 
-def to_pandas(result):
-    import pyarrow as pa
-
-    if isinstance(result, pd.DataFrame):
-        return result
-    if isinstance(result, pa.Table):
-        return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
-
-
-def value_hash(df: pd.DataFrame) -> str:
-    df = df[sorted(df.columns)]
-    rows = sorted(
-        tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)
-    )
-    h = hashlib.md5()
-    for r in rows:
-        h.update("\x1f".join(r).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
-
-
-def main():
+def to_arrow(result) -> pa.Table:
+    import pandas as pd
     import ray
 
+    if isinstance(result, pa.Table):
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    if isinstance(result, ray.data.Dataset):
+        tbls = [ray.get(r) for r in result.to_arrow_refs()]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return pa.table({})
+        return pa.concat_tables(tbls, promote_options="permissive")
+    raise TypeError(type(result))
+
+
+def canon(tbl: pa.Table) -> list[tuple]:
+    """Column-name-sorted, row-sorted, stringified values (ints exact,
+    floats repr-rounded) — mirrors the driver's value-hash comparison."""
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    rows = []
+    for row in tbl.to_pylist():
+        rows.append(
+            tuple(
+                (round(v, 6) if isinstance(v, float) else v) for v in
+                (row[c] for c in cols)
+            )
+        )
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
 
-    import __ray_entry__ as entrymod
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=16,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            got = to_pandas(fn(sf_dir))
-        except Exception as e:
-            print(f"{name:>20}: QUERY ERROR {type(e).__name__}: {e}")
+            got = to_arrow(fn(sf_dir))
+        except Exception as exc:
+            print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"{name:>20}: rows-only  rows={len(got)} cols={sorted(got.columns)}")
+            print(f"ok   {name}: rows-only, {len(got)} rows, cols {sorted(got.column_names)}")
             continue
-        want = con.execute(oracles[name]).df()
-        ok_rows = len(got) == len(want)
-        ok_schema = sorted(got.columns) == sorted(want.columns)
-        gh, wh = value_hash(got), value_hash(want)
-        ok_hash = gh == wh
-        status = "OK" if (ok_rows and ok_schema and ok_hash) else "MISMATCH"
-        print(
-            f"{name:>20}: {status} rows={len(got)}/{len(want)}"
-            f" schema={'ok' if ok_schema else f'{sorted(got.columns)} vs {sorted(want.columns)}'}"
-            f" hash={'ok' if ok_hash else f'{gh[:8]} vs {wh[:8]}'}"
-        )
-        if status != "OK":
+        want = con.sql(oracles[name]).fetch_arrow_table()
+        if sorted(got.column_names) != sorted(want.column_names):
+            print(
+                f"FAIL {name}: schema mismatch ray={sorted(got.column_names)} "
+                f"sql={sorted(want.column_names)}"
+            )
             failures += 1
-            if not ok_hash and ok_schema and ok_rows:
-                merged = got.sort_values(sorted(got.columns)).reset_index(drop=True)
-                wanted = want.sort_values(sorted(want.columns)).reset_index(drop=True)
-                diff = (merged != wanted).any(axis=1)
-                print(merged[diff].head(3))
-                print(wanted[diff].head(3))
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows ray={len(got)} sql={len(want)}")
+            failures += 1
+            continue
+        cg, cw = canon(got), canon(want)
+        if cg != cw:
+            diff = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at sorted rows {diff}")
+            for i in diff:
+                print(f"   ray: {cg[i]}\n   sql: {cw[i]}")
+            failures += 1
+            continue
+        print(f"ok   {name}: {len(got)} rows MATCH")
     ray.shutdown()
-    sys.exit(1 if failures else 0)
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
