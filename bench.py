@@ -104,7 +104,7 @@ def run_extraction_bench(num_cpus: int, n_rows: int = BENCH_PAGE_ROWS) -> dict:
         out_dir,
         num_parts=64,
         resume=False,
-        batch_size=256,
+        batch_size=512,
         run_id=f"bench-{num_cpus}",
     )
     wall = time.monotonic() - t0
@@ -161,7 +161,10 @@ def main_bench() -> None:
     queries = {"extract_pages": round(ext["wall_s"], 3)}
     queries.update(run_query_bench(SF_DIR))
     out = {
-        "metric": "extraction pipeline wall time (20k synthesized pages, read->extract->write+manifests)",
+        "metric": (
+            f"extraction pipeline wall time ({ext['n_pages']} synthesized "
+            "pages, read->extract->write+manifests)"
+        ),
         "value": round(ext["wall_s"], 3),
         "unit": "sec",
         "queries": queries,

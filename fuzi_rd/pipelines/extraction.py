@@ -86,7 +86,11 @@ def extract_dataset(
         # 28 -> 23.8k).  A pool of ALL cpus deadlocks the reads that feed it.
         concurrency = max(1, int(n_cpus * 0.7))
 
-    ds = ds.map_batches(_with_meta(num_parts), batch_format="pyarrow")
+    # The meta stage (url-hash part + html size) only exists to feed the
+    # resume filter and the skew router; the extractor computes `part`
+    # itself, so on a fresh, un-routed run we skip the extra pass entirely.
+    if skip_parts or skew_threshold is not None:
+        ds = ds.map_batches(_with_meta(num_parts), batch_format="pyarrow")
     if skip_parts:
         skip_list = sorted(skip_parts)
         ds = ds.filter(expr=f"part not in {skip_list}")
