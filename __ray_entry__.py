@@ -411,6 +411,35 @@ def _q_extract_pages(sf_dir: str):
     )
 
 
+def _q_feeds_xpath(sf_dir: str):
+    """Namespaced XPath queries over an Atom-flavored XML corpus — the XML
+    twin of the extraction pipeline (reference parity surface: XPath with
+    registered prefixes, Sources/Document.swift:162-175)."""
+    import ray
+
+    from fuzi_rd.stages.xml_query import QueryXml, synth_feed_table
+
+    ds = ray.data.from_arrow(synth_feed_table(300))
+    return ds.map_batches(
+        QueryXml,
+        fn_constructor_kwargs={
+            "recipe": {
+                "feed_title": "/a:feed/a:title",
+                "entry_titles": "//a:entry/a:title",
+                "n_entries": "count(//a:entry)",
+                "first_creator": "string(//dc:creator)",
+            },
+            "prefixes": {
+                "a": "http://www.w3.org/2005/Atom",
+                "dc": "http://purl.org/dc/elements/1.1/",
+            },
+        },
+        batch_size=64,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 def _q_media_decode(sf_dir: str):
     import ray
 
@@ -517,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "extract_pages": _q_extract_pages,
         "pages_css_query": _q_pages_css_query,
+        "feeds_xpath": _q_feeds_xpath,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,

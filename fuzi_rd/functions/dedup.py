@@ -138,30 +138,42 @@ def minhash_dedup(ds, threshold: float = 0.8):
     """Full near-dup pass: LSH candidates -> exact Jaccard verification ->
     union-find -> (doc_id, cluster_rep) for every clustered document.
 
-    The verification joins candidate text back by doc_id via a broadcast
-    lookup (candidates are a tiny fraction of the corpus)."""
+    Scale shape: candidate pairs are a tiny fraction of the corpus, so the
+    driver holds only (id_a, id_b) pairs and the candidates' *shingle-hash
+    sets* — never any document text.  Shingling runs distributed (the
+    candidate-id set is broadcast once via ray.put and read inside each
+    task); exact Jaccard + union-find over the verified pairs run
+    driver-side at O(pairs)."""
+    import ray
+
     pairs = [
         (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(ds).take_all()
     ]
     need = sorted({i for p in pairs for i in p})
     if not need:
         return []
-    need_set = set(need)
+    need_ref = ray.put(frozenset(need))
 
-    def _texts(batch: pa.Table) -> pa.Table:
-        keep_idx = [
-            i
-            for i, d in enumerate(batch.column("doc_id").to_pylist())
-            if d in need_set
+    def _shingles(batch: pa.Table) -> pa.Table:
+        need_set = ray.get(need_ref)  # zero-copy shared-memory read
+        ids = batch.column("doc_id").to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in need_set]
+        sub = batch.take(keep)
+        out_sh = [
+            char_shingles(t or "").tolist()
+            for t in sub.column("text").to_pylist()
         ]
-        sub = batch.take(keep_idx)
-        return pa.table({"doc_id": sub.column("doc_id"), "text": sub.column("text")})
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+            }
+        )
 
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in ds.map_batches(_texts, batch_format="pyarrow").take_all()
+    shingle_cache = {
+        r["doc_id"]: np.asarray(r["shingles"], dtype=np.uint64)
+        for r in ds.map_batches(_shingles, batch_format="pyarrow").take_all()
     }
-    shingle_cache = {d: char_shingles(texts.get(d) or "") for d in need}
 
     parent = {d: d for d in need}
 

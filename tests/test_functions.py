@@ -168,6 +168,34 @@ def test_embedding_near_dup_exact(ray_session):
     assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 7)}
 
 
+def test_broadcast_join(ray_session):
+    import ray
+
+    from fuzi_rd.functions.relational import broadcast_join
+
+    big = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 2, 9], pa.int64()),
+            "v": pa.array(list("abcde"), pa.string()),
+        }
+    )
+    small = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "name": pa.array(["one", "two", "three"], pa.string()),
+            "x10": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    out = broadcast_join(
+        ray.data.from_arrow(big), small, "k", ["name", "x10"], concurrency=(1, 2)
+    ).take_all()
+    by_v = {r["v"]: r for r in out}
+    assert by_v["a"]["name"] == "one" and by_v["a"]["x10"] == 10
+    assert by_v["b"]["name"] == "two" and by_v["d"]["name"] == "two"
+    # left-join semantics: unmatched key -> nulls
+    assert by_v["e"]["name"] is None and by_v["e"]["x10"] is None
+
+
 def test_media_resize_plumbing(ray_session):
     import ray
 
