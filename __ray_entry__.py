@@ -336,6 +336,126 @@ def _q_docs_top_longest(sf_dir: str):
     )
 
 
+def _q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate (epoch-hour bucket, exact integer
+    milli-units) — the streaming-window analog expressed as a batch groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())  # timestamp[us] -> int64
+        return pa.table(
+            {
+                "hour_bucket": pc.divide(us, 3_600_000_000),
+                "event_type": batch.column("event_type"),
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 1000)), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour_bucket", "event_type"])
+        .aggregate(Count(), Sum("value_milli"))
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_bucket": batch.column("hour_bucket"),
+                "event_type": batch.column("event_type"),
+                "n_events": pc.cast(batch.column("count()"), pa.int64()),
+                "total_value_milli": pc.cast(
+                    batch.column("sum(value_milli)"), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def _q_top_orders_per_status(sf_dir: str):
+    """Per-group top-k: 3 highest-value orders per order status
+    (groupby().map_groups with an in-group sort; deterministic tiebreak)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def top3(group: pa.Table) -> pa.Table:
+        srt = group.sort_by(
+            [("price_cents", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, 3)
+        ranks = pa.array(range(1, len(srt) + 1), pa.int64())
+        return srt.append_column("rank", ranks)
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .map_groups(top3, batch_format="pyarrow")
+    )
+
+
+def _q_parts_by_brand(sf_dir: str):
+    """Multi-aggregate groupby: count / sum / min / max per brand."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("p_retailprice"), 100)),
+                    pa.int64(),
+                ),
+                "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(), Sum("price_cents"), Min("p_size"), Max("p_size"))
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "n_parts": pc.cast(batch.column("count()"), pa.int64()),
+                "total_price_cents": pc.cast(
+                    batch.column("sum(price_cents)"), pa.int64()
+                ),
+                "min_size": pc.cast(batch.column("min(p_size)"), pa.int64()),
+                "max_size": pc.cast(batch.column("max(p_size)"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
 # -- rows-only checks (non-SQL-expressible) ---------------------------------
 
 
@@ -537,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "emb_near_dup": _q_emb_near_dup,
         "docs_top_longest": _q_docs_top_longest,
+        "events_hourly": _q_events_hourly,
+        "top_orders_per_status": _q_top_orders_per_status,
+        "parts_by_brand": _q_parts_by_brand,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
         "minhash_bands": _q_minhash_bands,
@@ -656,6 +779,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY n_chars DESC, doc_id
             LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS total_value_milli
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "top_orders_per_status": """
+            WITH ranked AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                     row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                o_orderkey
+                     ) AS rank
+              FROM orders)
+            SELECT o_orderkey, o_orderstatus, price_cents, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_price_cents,
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size
+            FROM part
+            GROUP BY p_brand
         """,
         "sim_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe

@@ -171,7 +171,8 @@ def run_extraction(
         if p not in agg:
             agg[p] = {
                 "run_id": run_id, "rows": 0, "ok_rows": 0, "error_rows": 0,
-                "bytes_in": 0, "bytes_out": 0, "text_checksum": 0,
+                "bytes_in": 0, "bytes_out": 0, "parse_us_sum": 0,
+                "text_checksum": 0,
             }
         a = agg[p]
         a["rows"] += row["rows"]
@@ -179,6 +180,7 @@ def run_extraction(
         a["error_rows"] += row["error_rows"]
         a["bytes_in"] += row["bytes_in"]
         a["bytes_out"] += row["bytes_out"]
+        a["parse_us_sum"] += row["parse_us"]
         a["text_checksum"] = (a["text_checksum"] + row["text_checksum"]) % (2**63)
     for part, stats in agg.items():
         mf.write_manifest(out_dir, part, stats)
@@ -204,7 +206,8 @@ def _block_writer(out_dir: str):
         part_np = batch.column("part").to_numpy()
         rows = {
             "part": [], "rows": [], "ok_rows": [], "error_rows": [],
-            "bytes_in": [], "bytes_out": [], "text_checksum": [],
+            "bytes_in": [], "bytes_out": [], "parse_us": [],
+            "text_checksum": [],
         }
         import numpy as np
 
@@ -229,6 +232,7 @@ def _block_writer(out_dir: str):
             rows["error_rows"].append(len(sub) - ok)
             rows["bytes_in"].append(pc.sum(sub.column("html_bytes")).as_py() or 0)
             rows["bytes_out"].append(pc.sum(sub.column("text_len")).as_py() or 0)
+            rows["parse_us"].append(pc.sum(sub.column("parse_us")).as_py() or 0)
             rows["text_checksum"].append(
                 (pc.sum(sub.column("text_hash")).as_py() or 0) % (2**63)
             )
@@ -240,6 +244,7 @@ def _block_writer(out_dir: str):
                 "error_rows": pa.array(rows["error_rows"], pa.int64()),
                 "bytes_in": pa.array(rows["bytes_in"], pa.int64()),
                 "bytes_out": pa.array(rows["bytes_out"], pa.int64()),
+                "parse_us": pa.array(rows["parse_us"], pa.int64()),
                 "text_checksum": pa.array(rows["text_checksum"], pa.int64()),
             }
         )

@@ -72,9 +72,12 @@ class ExtractPages:
         self.emit_spans = emit_spans
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from time import perf_counter_ns
+
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         n = len(urls)
+        parse_us = [0] * n
 
         parts = [0] * n
         titles = [""] * n
@@ -98,6 +101,7 @@ class ExtractPages:
             raw = htmls[i] or b""
             parts[i] = url_part(url, self.num_parts)
             html_bytes[i] = len(raw)
+            t_row = perf_counter_ns()
             try:
                 arena = parse_html_bytes(raw)
                 titles[i] = _title_of(arena)
@@ -126,6 +130,7 @@ class ExtractPages:
             except Exception as exc:  # poison-pill tolerance: row, not raise
                 status[i] = "error"
                 error[i] = f"{type(exc).__name__}: {exc}"[:500]
+            parse_us[i] = (perf_counter_ns() - t_row) // 1000
             span_offsets[i + 1] = len(span_paths)
 
         spans_arr = pa.ListArray.from_arrays(
@@ -149,6 +154,7 @@ class ExtractPages:
             "text_len": pa.array(text_lens, pa.int64()),
             "html_bytes": pa.array(html_bytes, pa.int64()),
             "text_hash": pa.array(text_hash, pa.uint64()),
+            "parse_us": pa.array(parse_us, pa.int64()),
             "status": pa.array(status, pa.string()),
             "error": pa.array(error, pa.string()),
         }

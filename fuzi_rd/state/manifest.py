@@ -81,8 +81,12 @@ def rollup(out_dir: str) -> dict:
         "error_rows": 0,
         "bytes_in": 0,
         "bytes_out": 0,
+        "parse_us_sum": 0,
     }
     for m in manifests:
-        for k in ("rows", "ok_rows", "error_rows", "bytes_in", "bytes_out"):
+        for k in (
+            "rows", "ok_rows", "error_rows", "bytes_in", "bytes_out",
+            "parse_us_sum",
+        ):
             total[k] += m.get(k, 0)
     return total
