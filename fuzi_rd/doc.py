@@ -266,6 +266,48 @@ class Element(Node):
 
     # -- mutation (fork additions, reference Element.swift:192-216) ----------
 
+    def copy_subtree(self) -> "Element":
+        """Deep, independent copy of this element (reference ``copy()``,
+        Element.swift:192-194 — ``xmlCopyNode(cNode, 1)`` with its own
+        ownership).  The copy lives in a fresh arena wrapped by a new
+        document of the same kind; mutating either tree never affects the
+        other.  Dead (removed) descendants are not copied."""
+        src = self.arena
+        dst = Arena(is_html=src.is_html)
+        dst.version = src.version
+        dst.encoding = src.encoding
+
+        def _copy(node: int, parent: int) -> int:
+            return dst.add_node(
+                src.types[node],
+                parent,
+                name=src.names[node],
+                text=src.texts[node],
+                line=src.lines[node],
+                attrs=dict(src.attrs[node]) if src.attrs[node] else None,
+                attr_order=list(src.attr_order[node])
+                if src.attr_order[node]
+                else None,
+                ns_prefix=src.ns_prefix[node],
+                ns_uri=src.ns_uri[node],
+                nsdefs=list(src.nsdefs[node]) if src.nsdefs[node] else None,
+            )
+
+        # strict preorder copy: dst ids must be preorder for the arena's
+        # contiguous-subtree invariants (descendant axis, string_value)
+        root_copy = _copy(self.nid, 0)
+        stack = [
+            (c, root_copy) for c in reversed(list(src.iter_children(self.nid)))
+        ]
+        while stack:
+            src_node, dst_parent = stack.pop()
+            dst_node = _copy(src_node, dst_parent)
+            for c in reversed(list(src.iter_children(src_node))):
+                stack.append((c, dst_node))
+        dst.finish()
+        doc_cls = HTMLDocument if src.is_html else Document
+        return Element(doc_cls(dst), root_copy)
+
     def remove(self) -> None:
         self.arena.remove(self.nid)
 

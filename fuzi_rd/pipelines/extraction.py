@@ -158,11 +158,16 @@ def run_extraction(
     # extracted text itself never crosses an all-to-all exchange (at 100 TB
     # that shuffle would move the entire output corpus).
     out.mkdir(parents=True, exist_ok=True)
-    # writer batch ~16x the extract batch: big enough that per-part files
-    # are not row-sized, small enough that write tasks start early and run
-    # wide (a single huge writer batch serializes the tail of the job)
+    # Writer batch sizing: each writer task writes ~one file per url-hash
+    # part it sees, so rows-per-file ~= writer_batch / num_parts.  Scale the
+    # batch with num_parts (>= 64 rows per part-file) or parquet
+    # fixed-per-file overhead dominates — measured at 4M pages: num_parts
+    # 256 with an 8k batch (32-row files) ran 26% slower than num_parts 64.
+    # Cap keeps one writer batch's arrow data well inside a worker heap and
+    # write tasks starting early enough to overlap extraction.
+    writer_batch = min(max(batch_size * 16, num_parts * 64, 2048), 65536)
     stats_ds = result.map_batches(
-        _block_writer(str(out)), batch_size=max(batch_size * 16, 2048),
+        _block_writer(str(out)), batch_size=writer_batch,
         batch_format="pyarrow",
     )
     agg = {}

@@ -554,3 +554,31 @@ def test_query_after_prefix_definition():
     )
     doc.define_prefix("ns", "http://example.com")
     assert len(doc.xpath("//ns:item")) == 1
+
+
+# -- copy (M1, reference Element.swift:192-194) ------------------------------
+
+
+def test_copy_subtree_independent():
+    from fuzi_rd.doc import parse_html
+
+    d = parse_html(
+        b"<html><body><div id='x'><p>one <b>bold</b></p><p>two</p></div>"
+        b"<div>other</div></body></html>"
+    )
+    el = d.css("#x")[0]
+    cp = el.copy_subtree()
+    assert cp.string_value == el.string_value == "one boldtwo"
+    assert cp.attributes == {"id": "x"}
+    assert [e.tag for e in cp.xpath(".//p")] == ["p", "p"]
+    # independent ownership: mutating the original never affects the copy
+    el.children[0].remove()
+    assert el.string_value == "two"
+    assert cp.string_value == "one boldtwo"
+
+
+def test_copy_subtree_preserves_namespaces():
+    doc = parse_xml('<r xmlns:a="urn:a"><a:c>v</a:c><a:c>w</a:c></r>')
+    cp = doc.root.copy_subtree()
+    cp.doc.define_prefix("a", "urn:a")
+    assert [n.string_value for n in cp.xpath(".//a:c")] == ["v", "w"]
