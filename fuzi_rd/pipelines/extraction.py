@@ -32,13 +32,6 @@ from fuzi_rd.state import manifest as mf
 # route it to the batch_size=1 branch (SURVEY.md §4.2 "skew / stragglers").
 DEFAULT_SKEW_THRESHOLD = 4 * 1024 * 1024
 
-DEFAULT_RECIPE = {
-    # Fuzi-parity columns evaluated by the same query core used for tests:
-    # CSS selectors are compiled via xpath_from_css in the actor __init__.
-    "h1_text": "css: h1",
-}
-
-
 def _with_meta(num_parts: int):
     """Vectorized-ish per-batch computation of html size + url-hash part."""
 

@@ -36,10 +36,6 @@ from fuzi_rd.extract import extract_main_content, kill_boilerplate_nodes, _title
 from fuzi_rd.html_parser import parse_html_bytes
 from fuzi_rd.xpath import compile_xpath, evaluate, string_value
 
-SPAN_TYPE = pa.list_(
-    pa.struct([("path", pa.string()), ("start", pa.int64()), ("end", pa.int64())])
-)
-
 DEFAULT_NUM_PARTS = 256
 
 
