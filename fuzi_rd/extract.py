@@ -128,9 +128,27 @@ def extract_main_content(arena: Arena):
     if not candidates and body_id != _NULL and not has_block_desc[body_id]:
         candidates = [body_id]
 
+    texts_arr = arena.texts
+    TEXTISH = (3, 4)  # TEXT, CDATA
+
+    def _live_text(nid: int) -> str:
+        # contiguous preorder scan honoring eff_dead — much cheaper than the
+        # generic pointer-walk string_value once nodes are kill-listed
+        out = []
+        i = nid
+        stop = end[nid]
+        while i < stop:
+            if dead[i]:
+                i = end[i]
+                continue
+            if types[i] in TEXTISH:
+                out.append(texts_arr[i])
+            i += 1
+        return "".join(out)
+
     kept = []
     for nid in candidates:
-        text = arena.string_value(nid)
+        text = _live_text(nid)
         text_len = len(text)
         if text_len == 0:
             continue
@@ -146,7 +164,7 @@ def extract_main_content(arena: Arena):
             if types[i] == ELEMENT:
                 tag_count += 1
                 if names[i] == "a":
-                    link_text_len += len(arena.string_value(i))
+                    link_text_len += len(_live_text(i))
                     i = end[i]
                     continue
             i += 1

@@ -73,7 +73,8 @@ class _HTMLBuilder:
     """Tree builder; driven by fuzi_rd.html_tokenizer.tokenize (which
     decodes entities and lowercases names before calling in)."""
 
-    def __init__(self):
+    def __init__(self, track_lines: bool = True):
+        self.track_lines = track_lines
         self.cur_line = 1
         self.arena = Arena(is_html=True)
         self.stack = [0]  # node ids; document node at bottom
@@ -248,8 +249,12 @@ class _HTMLBuilder:
         self.arena.finish()
 
 
-def parse_html_bytes(data, encoding: str | None = None) -> Arena:
-    """Parse HTML bytes (or str) into an arena DOM."""
+def parse_html_bytes(data, encoding: str | None = None,
+                     track_lines: bool = True) -> Arena:
+    """Parse HTML bytes (or str) into an arena DOM.
+
+    ``track_lines=False`` skips source-line bookkeeping (the extraction
+    stage emits no line numbers; parity mode keeps the default)."""
     if isinstance(data, (bytes, bytearray, memoryview)):
         raw = bytes(data)
         if not raw:
@@ -262,7 +267,7 @@ def parse_html_bytes(data, encoding: str | None = None) -> Arena:
             raise ParseError("parserFailure: empty input")
     from fuzi_rd.html_tokenizer import tokenize
 
-    builder = _HTMLBuilder()
+    builder = _HTMLBuilder(track_lines=track_lines)
     try:
         tokenize(text, builder)
     except Exception:

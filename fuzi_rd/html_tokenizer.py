@@ -39,6 +39,7 @@ def tokenize(s: str, builder) -> None:
     i = 0
     line = 1
     line_pos = 0  # source offset up to which `line` is accurate
+    track_lines = getattr(builder, "track_lines", True)
 
     def advance_line(to: int) -> int:
         nonlocal line, line_pos
@@ -104,7 +105,8 @@ def tokenize(s: str, builder) -> None:
                         value = unescape(value)
                 attrs.append((name, value))
                 j = am.end()
-            builder.cur_line = advance_line(lt)
+            if track_lines:
+                builder.cur_line = advance_line(lt)
             if self_closing:
                 builder.handle_startendtag(tag, attrs)
             else:

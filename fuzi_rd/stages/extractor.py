@@ -99,7 +99,8 @@ class ExtractPages:
             html_bytes[i] = len(raw)
             t_row = perf_counter_ns()
             try:
-                arena = parse_html_bytes(raw)
+                # line numbers are not emitted by this stage — skip tracking
+                arena = parse_html_bytes(raw, track_lines=False)
                 titles[i] = _title_of(arena)
                 for name, ast in self.recipe.items():
                     try:
