@@ -58,13 +58,18 @@ def extract_dataset(
     """Wire the extraction stages onto an input Dataset (lazy).
 
     ``skew_threshold``: when set, rows with ``len(html) > threshold`` are
-    routed to a separate batch_size=1 actor-pool branch so one giant
-    tag-soup page cannot stall a whole batch of ordinary pages (explicit
-    skew handling per SURVEY.md §4.2).  The large branch's pool is sized to
-    a fraction of the cluster — both branches must never demand more actors
-    than there are CPUs, or the pools deadlock waiting for resources.
-    Default None: single stage (per-batch cost is already bounded by
-    batch_size; enable routing when the input has a heavy size tail)."""
+    routed to a separate batch_size=1 actor-pool branch (explicit skew
+    handling per SURVEY.md §4.2).  Measured guidance (bench.py --skew, 100k
+    pages with a 0.2%-count / ~60%-byte heavy tail of 1-4 MB pages):
+    routing is a THROUGHPUT LOSS there (1.8x slower) — Ray's batch-level
+    scheduling already spreads a moderate tail across the whole pool, while
+    routing splits the fleet into two pools that idle against each other
+    and re-executes the shared read per branch.  Use routing for what
+    per-batch scheduling cannot fix: EXTREME blobs (tens of MB+) where
+    ``batch_size x page_bytes`` would blow a worker's heap, or
+    pathological pages that must not share an actor with normal traffic.
+    Default None; production threshold ~32-64 MB.  Both branches' pools
+    must never demand more actors than there are CPUs or they deadlock."""
     import ray
 
     n_cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -97,9 +102,16 @@ def extract_dataset(
         return ds.map_batches(
             ExtractPages, batch_size=batch_size, concurrency=concurrency, **kwargs
         )
-    large_conc = (1, max(1, n_cpus // 8))
+    # fixed pool for the oversized branch: an autoscaling (1, n) pool sits
+    # at 1 actor and serializes the whole heavy tail (measured 3x slower
+    # than no routing at all on a 0.2%-huge-page corpus); the small branch
+    # gives up that many actors so the two pools + IO never oversubscribe
+    large_conc = max(1, n_cpus // 4)
+    small_conc = concurrency
+    if isinstance(concurrency, int):
+        small_conc = max(1, concurrency - large_conc // 2)
     small = ds.filter(expr=f"n_bytes <= {skew_threshold}").map_batches(
-        ExtractPages, batch_size=batch_size, concurrency=concurrency, **kwargs
+        ExtractPages, batch_size=batch_size, concurrency=small_conc, **kwargs
     )
     large = ds.filter(expr=f"n_bytes > {skew_threshold}").map_batches(
         ExtractPages, batch_size=1, concurrency=large_conc, **kwargs

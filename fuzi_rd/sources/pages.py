@@ -218,3 +218,47 @@ def write_pages_parquet(
         start += n
         shard += 1
     return paths
+
+
+# -- heavy-tail corpus (skew-routing benchmark) ------------------------------
+
+
+def huge_article_page(seq: int) -> str:
+    """Deterministic multi-megabyte tag-soup article (the oversized-blob
+    skew case the north_rule calls out).  Size varies 1-4 MB by seq."""
+    n_paras = 2000 + (seq * 131) % 6000  # ~1-4 MB rendered
+    paras = "\n".join(
+        f'<p class="body-text">{_paragraph(seq, j)} '
+        f"{_sentence(seq, j, 0)} {_sentence(seq, j, 1)}</p>"
+        for j in range(n_paras)
+    )
+    return (
+        f"<html><head><title>Huge fixture {seq}</title></head>"
+        f"<body>{_nav(seq)}<main><article>{paras}</article></main>"
+        f"{_footer(seq)}</body></html>"
+    )
+
+
+def skew_row_for_seq(seq: int, huge_every: int = 1000) -> tuple:
+    """Page row with a heavy size tail: every ``huge_every``-th row is a
+    1-4 MB page, the rest are the normal fixture mix."""
+    if huge_every and seq % huge_every == huge_every - 1:
+        lang = "en"
+        url = f"https://fixtures.test/huge/{seq:08d}"
+        ts = BASE_TS + datetime.timedelta(seconds=seq)
+        return url, ts.replace(tzinfo=None), huge_article_page(seq).encode(), "", lang
+    return row_for_seq(seq)
+
+
+def skew_pages_table(n_rows: int, start: int = 0, huge_every: int = 1000) -> pa.Table:
+    rows = [skew_row_for_seq(s, huge_every) for s in range(start, start + n_rows)]
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+        },
+        schema=_SCHEMA,
+    )

@@ -582,3 +582,36 @@ def test_copy_subtree_preserves_namespaces():
     cp = doc.root.copy_subtree()
     cp.doc.define_prefix("a", "urn:a")
     assert [n.string_value for n in cp.xpath(".//a:c")] == ["v", "w"]
+
+
+# -- full XPath 1.0 core function library (beyond the reference-pinned set) --
+
+
+def test_xpath_core_function_library():
+    doc = parse_xml("<r><a>hello</a><b id='x7'>world</b><c>3.7</c></r>")
+    string_cases = [
+        ("substring('hello', 2, 3)", "ell"),
+        ("substring('12345', 1.5, 2.6)", "234"),  # spec rounding example
+        ("substring-before('a-b', '-')", "a"),
+        ("substring-after('a-b', '-')", "b"),
+        ("translate('abc-x', 'abcx', 'ABC')", "ABC-"),  # absent -> deleted
+        ("concat('x', 'y', 'z')", "xyz"),
+        ("local-name(//b)", "b"),
+        ("name(//b)", "b"),
+    ]
+    for expr, want in string_cases:
+        assert doc.eval(expr).string_value == want, expr
+    number_cases = [
+        ("floor(3.7)", 3.0),
+        ("ceiling(3.2)", 4.0),
+        ("round(3.5)", 4.0),
+        ("round(-3.5)", -3.0),  # XPath rounds -3.5 toward +inf
+        ("string-length('hello')", 5.0),
+        ("number('3.7') + floor(//c)", 6.7),
+    ]
+    for expr, want in number_cases:
+        assert abs(doc.eval(expr).double_value - want) < 1e-9, expr
+    assert doc.eval("boolean(//a)").bool_value is True
+    assert doc.eval("boolean(//nope)").bool_value is False
+    assert doc.eval("true()").bool_value is True
+    assert doc.eval("false()").bool_value is False
