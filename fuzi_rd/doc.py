@@ -365,8 +365,10 @@ def _to_xpath_result(arena, value) -> XPathResult:
     if isinstance(value, list):
         return XPathResult(
             bool_value=len(value) > 0,
+            # node-set casts: number/string of the FIRST node in document
+            # order (libxml2 xmlXPathCastToString semantics)
             double_value=to_number(arena, value),
-            string_value="",
+            string_value=to_string(arena, value),
         )
     if isinstance(value, bool):
         return XPathResult(

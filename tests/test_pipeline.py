@@ -162,3 +162,18 @@ def test_error_rows_do_not_poison(ray_session, tmp_path):
     assert rows["https://x.test/empty"]["status"] == "error"
     assert rows["https://x.test/ok"]["status"] == "ok"
     assert "good content here" in rows["https://x.test/ok"]["extracted_text"]
+
+
+def test_page_generator_frozen():
+    """The bench page tables are cached on disk keyed only by row count —
+    if generator output ever drifts, those caches go silently stale.  This
+    fingerprint freezes the generators; if you change them intentionally,
+    update the crc AND delete /tmp/fuzi_rd_*pages* caches."""
+    import zlib
+
+    from fuzi_rd.sources.pages import pages_table, skew_pages_table
+
+    t = pages_table(500, start=0)
+    assert zlib.crc32(b"".join(t.column("html").to_pylist())) == 2508026150
+    s = skew_pages_table(600, start=0, huge_every=500)
+    assert zlib.crc32(b"".join(s.column("html").to_pylist())) == 3265379870
