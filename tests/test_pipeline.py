@@ -177,3 +177,41 @@ def test_page_generator_frozen():
     assert zlib.crc32(b"".join(t.column("html").to_pylist())) == 2508026150
     s = skew_pages_table(600, start=0, huge_every=500)
     assert zlib.crc32(b"".join(s.column("html").to_pylist())) == 3265379870
+
+
+def test_extraction_heuristic_goldens_frozen():
+    """Frozen snapshots of the density-heuristic outputs (SURVEY.md §7 step
+    6): engine-produced once, reviewed, committed.  Catches regressions the
+    pipeline-vs-engine byte-identity test cannot (there both sides drift
+    together).  If extraction SEMANTICS change intentionally, regenerate
+    tests/fixtures/extraction_goldens.json and review the diff."""
+    import json
+    import pathlib
+    import zlib
+
+    goldens = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "extraction_goldens.json")
+        .read_text()
+    )
+
+    def check(name, html):
+        want = goldens[name]
+        got = extract_from_html(html)
+        assert got["title"] == want["title"], name
+        assert len(got["extracted_text"]) == want["text_len"], name
+        assert zlib.crc32(got["extracted_text"].encode()) == want["text_crc32"], name
+        assert len(got["spans"]) == want["n_spans"], name
+        if want["first_span"]:
+            assert got["spans"][0] == want["first_span"], name
+        assert got["extracted_text"][:160] == want["text_head"], name
+
+    check(
+        "web.html",
+        (pathlib.Path(__file__).parent / "fixtures" / "web.html").read_bytes(),
+    )
+    for name in goldens:
+        if name.startswith("seq"):
+            seq = int(name[3:])
+            url, _, html, _, _ = row_for_seq(seq)
+            assert url == goldens[name]["url"]
+            check(name, html)
