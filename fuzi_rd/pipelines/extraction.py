@@ -196,7 +196,25 @@ def run_extraction(
         mf.write_manifest(out_dir, part, stats)
     roll = mf.rollup(out_dir)
     roll["wall_s"] = time.monotonic() - t0
+    _write_run_metrics(out_dir, run_id, roll, stats_ds)
     return roll
+
+
+def _write_run_metrics(out_dir: str, run_id: str, roll: dict, stats_ds) -> None:
+    """Run-level metrics file (SURVEY.md §3.4 step 6): manifest roll-up +
+    Ray Data per-operator stats, written next to the data for ops tooling."""
+    import json
+
+    d = Path(out_dir) / "_metrics"
+    d.mkdir(parents=True, exist_ok=True)
+    try:
+        stage_stats = stats_ds.stats()
+    except Exception:
+        stage_stats = ""
+    tmp = d / f".run-{run_id}.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"run_id": run_id, **roll, "ray_data_stats": stage_stats}, f)
+    tmp.replace(d / f"run-{run_id}.json")
 
 
 def _block_writer(out_dir: str):
