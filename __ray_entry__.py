@@ -497,6 +497,29 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(ds, max_hamming=3)
 
 
+def _q_ivf_topk(sf_dir: str):
+    """ANN via IVF coarse quantizer (k-means buckets, nprobe scan) — the
+    scale path alongside the LSH variant (rows-only: approximate)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzi_rd.functions.simsearch import ivf_topk
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    query = tbl.column("embedding").to_pylist()[0]
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = ivf_topk(ds, query, k=10, n_centroids=16, nprobe=4)
+    return pa.table(
+        {
+            "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "sim": pa.array([round(r["sim"], 4) for r in rows], pa.float64()),
+        }
+    )
+
+
 def _q_lsh_topk(sf_dir: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -666,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "extract_pages": _q_extract_pages,
         "pages_css_query": _q_pages_css_query,

@@ -79,6 +79,97 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10) -> list[dict]:
     ]
 
 
+# -- IVF variant (scale path) ------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Tiny deterministic k-means (k-means++ seeding off a fixed RNG) for
+    the IVF coarse quantizer.  Runs driver-side on a SAMPLE — at corpus
+    scale the sample is a bounded ds.random_sample, never the full table."""
+    rng = np.random.RandomState(17)
+    n = len(sample)
+    k = min(k, n)
+    # k-means++ seeding
+    centroids = [sample[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((sample - c) ** 2).sum(axis=1) for c in centroids], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(sample[rng.choice(n, p=probs)])
+    cents = np.stack(centroids)
+    for _ in range(iters):
+        assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def build_ivf_assignments(ds, n_centroids: int = 16, sample_size: int = 2048):
+    """IVF index build: sample -> k-means centroids (driver-side, tiny) ->
+    broadcast centroids -> per-batch nearest-centroid assignment.
+
+    Returns (centroids, assigned_ds) where assigned_ds adds a ``bucket``
+    column.  At corpus scale the assigned dataset is written partitioned by
+    bucket so queries read only the probed buckets' files."""
+    import ray
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]
+    )
+    cents = _kmeans(sample, n_centroids)
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _batch_matrix(batch)
+            d2 = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+            return batch.append_column(
+                "bucket", pa.array(d2.argmin(axis=1), pa.int32())
+            )
+
+    return cents, ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> list[dict]:
+    """Approximate top-k via an IVF coarse quantizer: scan only the
+    ``nprobe`` centroid buckets nearest the query.  Recall/latency tradeoff
+    is (n_centroids, nprobe); nprobe = n_centroids degenerates to exact."""
+    query = np.asarray(query, dtype=np.float64)
+    cents, assigned = build_ivf_assignments(ds, n_centroids)
+    d2 = ((cents - query[None, :]) ** 2).sum(axis=1)
+    probe = set(int(b) for b in np.argsort(d2)[:nprobe])
+
+    filtered = assigned.filter(expr=f"bucket in {sorted(probe)}")
+    import ray
+
+    query_ref = ray.put(query)
+    partial = filtered.map_batches(
+        PartialTopK,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    rows = partial.take_all()
+    rows.sort(key=lambda r: (-r["sim"], r["vec_id"]))
+    return [
+        {"rank": i + 1, "vec_id": r["vec_id"], "sim": r["sim"]}
+        for i, r in enumerate(rows[:k])
+    ]
+
+
 # -- LSH variant (scale path) ------------------------------------------------
 
 _N_PLANES = 12

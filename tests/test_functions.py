@@ -209,6 +209,28 @@ def test_media_resize_plumbing(ray_session):
     assert all(len(r["payload"]) >= 16 for r in out)
 
 
+def test_ivf_topk_recall(ray_session):
+    import ray
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((400, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    query = mat[11].astype(np.float64)
+    # nprobe == n_centroids -> exact: must equal brute force
+    exact = simsearch.brute_force_topk(ds, query, k=5)
+    full = simsearch.ivf_topk(ds, query, k=5, n_centroids=8, nprobe=8)
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    # probing a few buckets still finds the query vector itself
+    approx = simsearch.ivf_topk(ds, query, k=5, n_centroids=8, nprobe=2)
+    assert approx[0]["vec_id"] == 11
+
+
 def test_media_decode_plumbing(ray_session):
     import ray
 
