@@ -111,6 +111,31 @@ def _q_dedup_exact(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_dedup_keep(sf_dir: str):
+    """Filter form of exact dedup: the cleaned corpus itself (first doc per
+    distinct text)."""
+    from fuzi_rd.functions.dedup import exact_dedup_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_keep(ds)
+
+
+def _q_quality_keep(sf_dir: str):
+    """Filter form of the quality gate: only documents passing the integer
+    thresholds survive."""
+    import pyarrow as pa
+
+    from fuzi_rd.functions.textstats import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        return batch.filter(q.column("quality_ok"))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_lang_counts(sf_dir: str):
     import pyarrow as pa
 
@@ -672,6 +697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "dedup_keep": _q_dedup_keep,
+        "quality_keep": _q_quality_keep,
         "lang_counts": _q_lang_counts,
         "events_rollup": _q_events_rollup,
         "q1_lineitem": _q_q1_lineitem,
@@ -741,6 +768,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY 1
+        """,
+        "dedup_keep": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "quality_keep": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(list_filter(string_split_regex(trim(text), '\s+'),
+                                                  x -> x <> '')) END AS n_tokens,
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+              FROM documents)
+            SELECT doc_id, text FROM s
+            WHERE n_tokens >= 5 AND n_chars >= 30
+              AND 2 * n_alpha >= n_chars
+              AND 20 * n_punct <= 3 * n_chars
         """,
         "lang_counts": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -55,6 +55,33 @@ def exact_dedup(ds):
     return hashed.groupby("text_hash").min("doc_id")
 
 
+def exact_dedup_keep(ds):
+    """The filter form: returns the documents dataset with exact duplicates
+    dropped (first doc_id per distinct text wins).
+
+    Scale shape: the shuffle moves only (hash, doc_id) pairs; winner ids are
+    broadcast once via ray.put and membership-checked per batch, so document
+    TEXT is never exchanged.  (At 10^12-doc scale, where the winner set
+    outgrows one object, the membership check becomes a hash-partitioned
+    semi-join keyed the same way.)"""
+    import ray
+
+    winners = ray.put(
+        frozenset(r["min(doc_id)"] for r in exact_dedup(ds).take_all())
+    )
+
+    class KeepWinners:
+        def __init__(self):
+            self.keep = ray.get(winners)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            mask = pa.array([d in self.keep for d in ids], pa.bool_())
+            return batch.filter(mask)
+
+    return ds.map_batches(KeepWinners, batch_format="pyarrow", concurrency=(1, 8))
+
+
 # -- MinHash -----------------------------------------------------------------
 
 

@@ -93,6 +93,15 @@ def test_exact_dedup_ray(ray_session):
     assert sorted(out.values()) == [0, 1, 3]
 
 
+def test_exact_dedup_keep_filters(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_docs_table(["a", "b", "a", "c", "b", "a"]))
+    out = dedup.exact_dedup_keep(ds).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 3]
+    assert sorted(r["text"] for r in out) == ["a", "b", "c"]
+
+
 def test_brute_force_topk_matches_numpy(ray_session):
     import ray
 
