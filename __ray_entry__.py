@@ -608,6 +608,22 @@ def _q_feeds_xpath(sf_dir: str):
     )
 
 
+def _q_corpus_pipeline(sf_dir: str):
+    """The composed crawl-to-corpus pipeline: extract -> clean/annotate ->
+    quality gate -> exact dedup on extracted text (rows-only; every piece
+    is individually oracle-verified)."""
+    import ray
+
+    from fuzi_rd.pipelines.corpus import corpus_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    out = corpus_dataset(ds, batch_size=64)
+    return out.select_columns(
+        ["url", "part", "title", "text_len", "lang_guess", "content_hash"]
+    )
+
+
 def _q_media_decode(sf_dir: str):
     import ray
 
@@ -721,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _q_extract_pages,
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
+        "corpus_pipeline": _q_corpus_pipeline,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,

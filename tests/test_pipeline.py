@@ -215,3 +215,26 @@ def test_extraction_heuristic_goldens_frozen():
             url, _, html, _, _ = row_for_seq(seq)
             assert url == goldens[name]["url"]
             check(name, html)
+
+
+def test_corpus_pipeline_composition(ray_session, pages_dir):
+    """Composed corpus pipeline: extracted + gated + deduplicated rows with
+    the full annotation schema; urls unique; hashes consistent."""
+    import hashlib
+
+    import ray
+
+    from fuzi_rd.pipelines.corpus import corpus_dataset
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    rows = corpus_dataset(ds, batch_size=16).take_all()
+    assert 0 < len(rows) <= N_ROWS
+    urls = [r["url"] for r in rows]
+    assert len(set(urls)) == len(urls)
+    hashes = [r["content_hash"] for r in rows]
+    assert len(set(hashes)) == len(hashes)  # dedup by extracted text held
+    for r in rows[:20]:
+        url, _, html, _, _ = row_for_seq(int(r["url"].rsplit("/", 1)[1]))
+        assert url == r["url"]
+        expected = extract_from_html(html)["extracted_text"]
+        assert r["content_hash"] == hashlib.md5(expected.encode()).hexdigest()
