@@ -615,3 +615,48 @@ def test_xpath_core_function_library():
     assert doc.eval("boolean(//nope)").bool_value is False
     assert doc.eval("true()").bool_value is True
     assert doc.eval("false()").bool_value is False
+
+
+# -- concurrent reads (reference ActorHardeningTests.swift:155-307) ----------
+
+
+def test_massive_concurrent_reads_one_document():
+    """The fork's headline guarantee: N-way concurrent query access to one
+    parsed document returns consistent results (reference: 1000-task stress,
+    ActorHardeningTests.swift:157-179).  Our engine's arena is immutable
+    during queries, so plain threads replace the serializing actor."""
+    import concurrent.futures
+
+    doc = parse_xml(
+        "<root>" + "".join(f'<item id="i{i}">v{i}</item>' for i in range(100)) + "</root>"
+    )
+
+    def read(i):
+        n = i % 100
+        hits = doc.xpath(f"//item[@id='i{n}']")
+        assert len(hits) == 1 and hits[0].string_value == f"v{n}"
+        assert doc.eval("count(//item)").double_value == 100.0
+        return True
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as ex:
+        assert all(ex.map(read, range(500)))
+
+
+def test_interleaved_reads_multiple_documents():
+    """Reference ActorHardeningTests.swift:280-307: independent documents
+    queried concurrently never interfere."""
+    import concurrent.futures
+
+    docs = [
+        parse_xml(f"<d{k}>" + f"<x>{k}</x>" * (k + 1) + f"</d{k}>")
+        for k in range(8)
+    ]
+
+    def read(i):
+        k = i % 8
+        assert len(docs[k].xpath("//x")) == k + 1
+        assert docs[k].root.tag == f"d{k}"
+        return True
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        assert all(ex.map(read, range(400)))

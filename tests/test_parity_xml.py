@@ -224,3 +224,15 @@ def test_function_result_double(atom_doc):
 def test_function_result_string(atom_doc):
     r = atom_doc.root.eval("string(./atom:entry[1]/dc:language[1]/text())")
     assert r.string_value == "en-us"
+
+
+def test_multiple_roots_first_wins():
+    # libxml2 keeps only the first root (reference ActorTests.swift:835-849)
+    doc = parse_xml("<root1/><root2/>")
+    assert doc.root.tag == "root1"
+
+
+def test_very_long_attribute_value():
+    # reference ActorTests.swift:860-868
+    doc = parse_xml('<root attr="' + "x" * 10000 + '"/>')
+    assert len(doc.root.attributes["attr"]) == 10000
