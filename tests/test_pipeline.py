@@ -47,7 +47,7 @@ def test_byte_identity_vs_single_doc(ray_session, extracted):
 
     out, _ = extracted
     got = {
-        r["url"]: (r["extracted_text"], r["title"])
+        r["url"]: (r["extracted_text"], r["title"], r["spans"])
         for r in ray.data.read_parquet(out).take_all()
     }
     assert len(got) == N_ROWS
@@ -56,6 +56,12 @@ def test_byte_identity_vs_single_doc(ray_session, extracted):
         expected = extract_from_html(html)
         assert got[url][0] == expected["extracted_text"], url
         assert got[url][1] == expected["title"], url
+        # spans survive the arrow/parquet round trip byte-for-byte, with
+        # utf-8 byte offsets in bounds
+        assert got[url][2] == expected["spans"], url
+        n = len(expected["extracted_text"].encode("utf-8"))
+        for s in got[url][2]:
+            assert 0 <= s["start"] <= s["end"] <= n
 
 
 def test_manifests_complete(extracted):
