@@ -41,6 +41,21 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _scaled_i64(col, scale: int):
+    """float column -> int64 in fixed-point units (cents / milli).
+
+    DuckDB's ``round()`` rounds ties away from zero while pyarrow's default
+    is half-to-even; ``half_towards_infinity`` matches DuckDB so a value
+    landing exactly on .5 after scaling can't diverge from the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    scaled = pc.multiply(col, scale) if scale != 1 else col
+    return pc.cast(
+        pc.round(scaled, round_mode="half_towards_infinity"), pa.int64()
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -162,9 +177,7 @@ def _q_events_rollup(sf_dir: str):
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "value_milli": pc.cast(
-                    pc.round(pc.multiply(batch.column("value"), 1000)), pa.int64()
-                ),
+                "value_milli": _scaled_i64(batch.column("value"), 1000),
             }
         )
 
@@ -208,11 +221,8 @@ def _q_q1_lineitem(sf_dir: str):
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
-                "price_cents": pc.cast(
-                    pc.round(pc.multiply(batch.column("l_extendedprice"), 100)),
-                    pa.int64(),
-                ),
+                "qty": _scaled_i64(batch.column("l_quantity"), 1),
+                "price_cents": _scaled_i64(batch.column("l_extendedprice"), 100),
             }
         )
 
@@ -259,10 +269,7 @@ def _q_orders_by_nation(sf_dir: str):
         return pa.table(
             {
                 "o_custkey": batch.column("o_custkey"),
-                "price_cents": pc.cast(
-                    pc.round(pc.multiply(batch.column("o_totalprice"), 100)),
-                    pa.int64(),
-                ),
+                "price_cents": _scaled_i64(batch.column("o_totalprice"), 100),
             }
         )
 
@@ -376,9 +383,7 @@ def _q_events_hourly(sf_dir: str):
             {
                 "hour_bucket": pc.divide(us, 3_600_000_000),
                 "event_type": batch.column("event_type"),
-                "value_milli": pc.cast(
-                    pc.round(pc.multiply(batch.column("value"), 1000)), pa.int64()
-                ),
+                "value_milli": _scaled_i64(batch.column("value"), 1000),
             }
         )
 
@@ -418,10 +423,7 @@ def _q_top_orders_per_status(sf_dir: str):
             {
                 "o_orderkey": batch.column("o_orderkey"),
                 "o_orderstatus": batch.column("o_orderstatus"),
-                "price_cents": pc.cast(
-                    pc.round(pc.multiply(batch.column("o_totalprice"), 100)),
-                    pa.int64(),
-                ),
+                "price_cents": _scaled_i64(batch.column("o_totalprice"), 100),
             }
         )
 
@@ -451,10 +453,7 @@ def _q_parts_by_brand(sf_dir: str):
         return pa.table(
             {
                 "p_brand": batch.column("p_brand"),
-                "price_cents": pc.cast(
-                    pc.round(pc.multiply(batch.column("p_retailprice"), 100)),
-                    pa.int64(),
-                ),
+                "price_cents": _scaled_i64(batch.column("p_retailprice"), 100),
                 "p_size": pc.cast(batch.column("p_size"), pa.int64()),
             }
         )

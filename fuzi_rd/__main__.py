@@ -4,8 +4,9 @@ This is the script a cluster run submits (``ray job submit -- python -m
 fuzi_rd ...``).  On the driver box it initializes a local Ray session if
 none exists (guarded — the round driver and tests own their own sessions).
 
-Exit code 0 iff every input row produced an output row and all partition
-manifests were written.  Re-running with ``--resume`` (default) skips
+Exit code 0 iff the fraction of error rows is within ``--max-error-rate``
+(default 0: every row must extract cleanly) and all partition manifests
+were written.  Re-running with ``--resume`` (default) skips
 completed partitions; a crashed run leaves incomplete partitions
 manifest-less and they are recomputed.
 """
@@ -27,6 +28,7 @@ def main(argv=None) -> int:
     ap.add_argument("--skew-threshold", type=int, default=None, help="html bytes above which a page is routed to the batch_size=1 branch")
     ap.add_argument("--recipe", default=None, help='JSON dict of named queries, e.g. {"h1": "css: h1", "n_links": "count(//a)"}')
     ap.add_argument("--no-resume", action="store_true", help="wipe the output dir and recompute everything")
+    ap.add_argument("--max-error-rate", type=float, default=0.0, help="max tolerated fraction of error rows before exiting non-zero")
     ap.add_argument("--run-id", default="cli")
     args = ap.parse_args(argv)
 
@@ -49,7 +51,9 @@ def main(argv=None) -> int:
         run_id=args.run_id,
     )
     print(json.dumps(roll))
-    return 0 if roll["error_rows"] == 0 or roll["ok_rows"] > 0 else 1
+    total = roll["ok_rows"] + roll["error_rows"]
+    err_rate = roll["error_rows"] / total if total else 0.0
+    return 0 if err_rate <= args.max_error_rate else 1
 
 
 if __name__ == "__main__":

@@ -6,14 +6,15 @@
   simhash          64-bit SimHash + 4-band blocking for hamming<=3 pairs
   ngram_jaccard    verified n-gram Jaccard similarity for candidate pairs
 
-Scale notes (100 TB): the only all-to-all exchanges are groupbys on
-*fixed-width keys* (16-byte md5 / 8-byte band hashes) — never on document
-text; signatures are computed inside ``map_batches`` so each document's text
-is read exactly once.  Candidate verification re-reads only the candidate
-pairs' shingle sets (a tiny fraction of the corpus).  The union-find step
-runs driver-side over candidate *pairs only*; at 10^12-document scale it
-would become an iterative label-propagation dataset job — the bucketing
-stages are unchanged.
+Scale notes (100 TB): the only all-to-all exchanges are groupbys/joins on
+*fixed-width keys* (16-byte md5 / 8-byte band hashes / int64 doc ids) —
+document text crosses an exchange at most once (inside the keep-filter's
+hash-partitioned semi-join); signatures are computed inside ``map_batches``
+so each document's text is read exactly once.  MinHash candidate
+verification and clustering are dataset jobs end-to-end: shingle sets are
+joined onto candidate pairs (hash join), exact Jaccard runs vectorized per
+pair batch, and connected components come from iterative min-label
+propagation — the driver holds only per-iteration convergence counters.
 """
 
 from __future__ import annotations
@@ -55,31 +56,48 @@ def exact_dedup(ds):
     return hashed.groupby("text_hash").min("doc_id")
 
 
-def exact_dedup_keep(ds):
+def _semi_join_partitions(num_partitions: int | None) -> int:
+    """Default hash-join partition count: one per CPU (each partition's two
+    sides must fit in an aggregator's heap, so at real scale pass an
+    explicit count sized to data volume / target partition size)."""
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def semi_join(ds, keys_ds, key: str, num_partitions: int | None = None):
+    """Distributed semi-join: rows of ``ds`` whose ``key`` appears in
+    ``keys_ds`` (which must contain exactly the key column).
+
+    Both sides hash-partition on the key and join per partition — no
+    driver-side materialization and no broadcast of the key set, so it
+    holds when the key set is a large fraction of the corpus (the exact
+    winner set of a dedup IS nearly the whole corpus)."""
+    return ds.join(
+        keys_ds,
+        join_type="inner",
+        num_partitions=_semi_join_partitions(num_partitions),
+        on=(key,),
+    )
+
+
+def exact_dedup_keep(ds, num_partitions: int | None = None):
     """The filter form: returns the documents dataset with exact duplicates
     dropped (first doc_id per distinct text wins).
 
-    Scale shape: the shuffle moves only (hash, doc_id) pairs; winner ids are
-    broadcast once via ray.put and membership-checked per batch, so document
-    TEXT is never exchanged.  (At 10^12-doc scale, where the winner set
-    outgrows one object, the membership check becomes a hash-partitioned
-    semi-join keyed the same way.)"""
-    import ray
+    Scale shape: two exchanges, neither driver-side — (1) the winner scan
+    shuffles only (16-byte hash, doc_id) pairs; (2) the winner-id dataset
+    semi-joins back against the documents (hash-partitioned on doc_id).
+    Document text crosses the exchange exactly once, inside the join's
+    partition shuffle; nothing is ever collected to the driver."""
 
-    winners = ray.put(
-        frozenset(r["min(doc_id)"] for r in exact_dedup(ds).take_all())
-    )
+    def _ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("min(doc_id)")})
 
-    class KeepWinners:
-        def __init__(self):
-            self.keep = ray.get(winners)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
-            mask = pa.array([d in self.keep for d in ids], pa.bool_())
-            return batch.filter(mask)
-
-    return ds.map_batches(KeepWinners, batch_format="pyarrow", concurrency=(1, 8))
+    keep_ids = exact_dedup(ds).map_batches(_ids_only, batch_format="pyarrow")
+    return semi_join(ds, keep_ids, "doc_id", num_partitions)
 
 
 # -- MinHash -----------------------------------------------------------------
@@ -124,12 +142,20 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
 
 def _minhash_batch(batch: pa.Table) -> pa.Table:
     """Emit one row per (doc, band): (band, band_hash, doc_id).  The
-    follow-up groupby on (band, band_hash) is the LSH bucket shuffle."""
+    follow-up groupby on (band, band_hash) is the LSH bucket shuffle.
+
+    Skew guard: documents whose normalized text is EMPTY emit no band rows
+    at all.  Every empty/whitespace doc otherwise shares one padded-shingle
+    signature, so a single bucket would hold all of them and the per-bucket
+    pair enumeration would go quadratic on a real crawl (exact dedup is the
+    right operator for empty docs — they are byte-identical)."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     out_doc, out_band, out_hash = [], [], []
     for doc_id, text in zip(doc_ids, texts):
-        sig = minhash_signature(char_shingles(text or ""))
+        if not (text or "").split():
+            continue
+        sig = minhash_signature(char_shingles(text))
         for b in range(N_BANDS):
             chunk = sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]
             h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
@@ -145,22 +171,44 @@ def _minhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket (map_groups)."""
-    ids = sorted(group.column("doc_id").to_pylist())
-    a, b = [], []
-    for i in range(len(ids) - 1):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+# Buckets beyond this size switch from all-pairs to star pairs (see
+# _bucket_pairs); bounds any one bucket's output at O(m) instead of O(m^2).
+DEFAULT_MAX_BUCKET = 512
 
 
-def minhash_candidate_pairs(ds):
+def _bucket_pairs_capped(max_bucket_size: int | None):
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        """Candidate pairs within one LSH bucket (map_groups).
+
+        Skew guard: a bucket larger than ``max_bucket_size`` (mass-duplicated
+        boilerplate) emits STAR pairs — every member against the bucket's
+        min id — instead of all pairs.  O(m) edges preserve the connected
+        component through the hub (verification still applies per edge), so
+        clustering output for true duplicate blobs is unchanged while a
+        1M-member bucket emits 1M-1 edges, not 5*10^11."""
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a, b = [], []
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            hub = ids[0]
+            a = [hub] * (len(ids) - 1)
+            b = ids[1:]
+        else:
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    return _bucket_pairs
+
+
+def minhash_candidate_pairs(ds, max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
     """documents -> distinct candidate near-dup pairs via banded LSH."""
     banded = ds.map_batches(_minhash_batch, batch_format="pyarrow")
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+        _bucket_pairs_capped(max_bucket_size), batch_format="pyarrow"
     )
     return pairs.groupby(["id_a", "id_b"]).count()
 
@@ -246,7 +294,9 @@ def _word_ngrams(text: str, n: int) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-def ngram_jaccard_pairs(ds, n: int = 3, threshold_milli: int = 500):
+def ngram_jaccard_pairs(
+    ds, n: int = 3, threshold_milli: int = 500, df_cap: int | None = None
+):
     """All-pairs word n-gram Jaccard similarity >= threshold via an
     inverted shingle index — no O(corpus^2) comparisons.
 
@@ -257,10 +307,12 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold_milli: int = 500):
     jaccard_milli = floor(1000 * |A∩B| / |A∪B|) — integer arithmetic so the
     result is bit-identical to the SQL oracle.
 
-    Scale note: a stop-shingle shared by m docs makes m^2 pairs; at corpus
-    scale pass a document-frequency cap (drop shingles with df > cap) on
-    BOTH sides of the comparison — here the default keeps exact semantics
-    to stay oracle-comparable."""
+    Scale note: a stop-shingle shared by m docs makes m^2 pairs;
+    ``df_cap`` drops shingles with document frequency > cap (the group is
+    skipped before pair enumeration, bounding any one group at cap^2).
+    Capped runs slightly under-count |A∩B| for pairs sharing a stop-shingle,
+    so jaccard_milli is a lower bound there; the default ``None`` keeps
+    exact semantics to stay oracle-comparable."""
     from ray.data.aggregate import Count, Min
 
     def _shingle_rows(batch: pa.Table) -> pa.Table:
@@ -288,6 +340,15 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold_milli: int = 500):
         )
 
     def _cooccur_pairs(group: pa.Table) -> pa.Table:
+        if df_cap is not None and len(group) > df_cap:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
         rows = sorted(
             zip(group.column("doc_id").to_pylist(), group.column("n_sh").to_pylist())
         )

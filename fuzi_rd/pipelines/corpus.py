@@ -4,12 +4,14 @@
       -> ExtractPages actor pool          main-content text + spans
       -> keep status == 'ok' and non-empty text
       -> lang-id + quality gate           (single fused batch pass)
-      -> exact dedup on extracted text    (hash groupby + winner broadcast)
+      -> parquet checkpoint               (dedup reads it twice, streaming)
+      -> exact dedup on extracted text    (hash groupby + semi-join keep)
       -> partitioned write + manifests    (same layout/resume as extraction)
 
-Every stage is a batch transform over one streaming Dataset — no
-materialization between stages; the only shuffle is the dedup groupby on
-16-byte digests.  This is the pipeline a 100 TB crawl-to-corpus job runs;
+Every stage is a batch transform over one streaming Dataset; the only
+all-to-all exchanges are the dedup groupby on 16-byte digests and the
+winner semi-join on urls.  This is the pipeline a 100 TB crawl-to-corpus
+job runs;
 each piece is individually oracle-verified, this module is their
 composition.
 """
@@ -31,6 +33,8 @@ def corpus_dataset(
     concurrency=None,
     batch_size: int = 256,
     dedup: bool = True,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
 ):
     """Wire the full corpus pipeline onto a page Dataset (lazy).
 
@@ -79,33 +83,30 @@ def corpus_dataset(
         return corpus
 
     # The winner scan and the keep filter both consume `corpus`; without a
-    # pin, lazy lineage would re-run the whole extraction per consumer.
-    # materialize() pins the (much smaller, post-filter) corpus in the
-    # object store — at extreme scale swap this for a parquet checkpoint
-    # (write corpus, re-read for both passes).
-    corpus = corpus.materialize()
+    # checkpoint, lazy lineage would re-run the whole extraction per
+    # consumer.  A parquet checkpoint (write once, re-read per consumer)
+    # keeps the corpus on disk instead of pinned in the object store —
+    # the streaming executor never holds more than in-flight blocks.
+    import tempfile
 
-    # exact dedup on the EXTRACTED text: shuffle carries (hash, url) pairs
-    # only; winners broadcast once (same scale shape as exact_dedup_keep)
     import ray
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="fuzi_rd_corpus_ckpt_")
+    corpus.write_parquet(ckpt)
+    corpus = ray.data.read_parquet(ckpt)
+
+    # exact dedup on the EXTRACTED text: the winner scan shuffles only
+    # (16-byte hash, url) pairs; the winner-url dataset then semi-joins
+    # back against the checkpointed corpus (hash-partitioned on url) —
+    # no driver-side winner set, no broadcast (same shape as
+    # exact_dedup_keep).
+    from fuzi_rd.functions.dedup import semi_join
 
     pairs = corpus.select_columns(["content_hash", "url"])
     winners_ds = pairs.groupby("content_hash").min("url")
-    winners = ray.put(
-        frozenset(r["min(url)"] for r in winners_ds.take_all())
-    )
 
-    class KeepWinners:
-        def __init__(self):
-            self.keep = ray.get(winners)
+    def _urls_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("min(url)")})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [u in self.keep for u in batch.column("url").to_pylist()],
-                pa.bool_(),
-            )
-            return batch.filter(mask)
-
-    return corpus.map_batches(
-        KeepWinners, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    keep_urls = winners_ds.map_batches(_urls_only, batch_format="pyarrow")
+    return semi_join(corpus, keep_urls, "url", num_partitions)

@@ -243,12 +243,22 @@ def _block_writer(out_dir: str):
         bounds = list(starts) + [len(batch)]
         for j, part in enumerate(uniq.tolist()):
             sub = batch.slice(bounds[j], bounds[j + 1] - bounds[j])
-            token = zlib.crc32("\x00".join(sub.column("url").to_pylist()).encode())
+            # 64-bit content hash of the url list: deterministic per batch
+            # (task retries rewrite the same file) with enough entropy that
+            # two different writer tasks appending to the same part can't
+            # collide and silently overwrite each other (crc32 + row count
+            # was a 32-bit space).
+            import hashlib
+
+            token = hashlib.blake2b(
+                "\x00".join(sub.column("url").to_pylist()).encode(),
+                digest_size=8,
+            ).hexdigest()
             pdir = Path(out_dir) / f"part={part}"
             pdir.mkdir(parents=True, exist_ok=True)
             pq.write_table(
                 sub.drop_columns(["part"]),
-                pdir / f"data-{token:08x}-{len(sub)}.parquet",
+                pdir / f"data-{token}-{len(sub)}.parquet",
                 compression="zstd",
             )
             ok = pc.sum(

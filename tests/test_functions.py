@@ -102,6 +102,29 @@ def test_exact_dedup_keep_filters(ray_session):
     assert sorted(r["text"] for r in out) == ["a", "b", "c"]
 
 
+def test_exact_dedup_keep_is_semi_join(ray_session):
+    """Scale guard: the keep filter must be a hash-partitioned semi-join —
+    one connected lazy plan containing a Join operator — not a driver-side
+    winner-set broadcast (which would show up as a plan break: the winner
+    scan executed eagerly at build time and no Join in the dag)."""
+    import ray
+
+    ds = ray.data.from_arrow(_docs_table(["a", "b", "a"]))
+    out = dedup.exact_dedup_keep(ds)
+    names = []
+
+    def walk(op):
+        names.append(type(op).__name__)
+        for dep in op.input_dependencies:
+            walk(dep)
+
+    walk(out._logical_plan.dag)
+    assert "Join" in names
+    # both the winner scan (Aggregate) and the documents source feed the
+    # same lazy dag — nothing was materialized on the driver to build it
+    assert "Aggregate" in names
+
+
 def test_brute_force_topk_matches_numpy(ray_session):
     import ray
 
@@ -155,6 +178,26 @@ def test_ngram_jaccard_pairs(ray_session):
     ds2 = ray.data.from_arrow(_docs_table([base, base]))
     rows2 = dedup.ngram_jaccard_pairs(ds2, n=3, threshold_milli=900).take_all()
     assert rows2[0]["jaccard_milli"] == 1000
+
+
+def test_ngram_jaccard_df_cap(ray_session):
+    """Document-frequency cap: shingle groups larger than the cap are
+    skipped before pair enumeration (bounds any one group at cap^2)."""
+    import ray
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    ds = ray.data.from_arrow(_docs_table([base, base, base]))
+    # every shingle has df=3; df_cap=2 skips all groups -> no pairs at all
+    rows = dedup.ngram_jaccard_pairs(
+        ds, n=3, threshold_milli=400, df_cap=2
+    ).take_all()
+    assert rows == []
+    # cap >= actual df keeps exact semantics: all 3 identical-doc pairs
+    rows = dedup.ngram_jaccard_pairs(
+        ds, n=3, threshold_milli=900, df_cap=3
+    ).take_all()
+    assert len(rows) == 3
+    assert all(r["jaccard_milli"] == 1000 for r in rows)
 
 
 def test_embedding_near_dup_exact(ray_session):
