@@ -84,6 +84,37 @@ def test_minhash_dedup_ray(ray_session):
     assert reps == {0}
 
 
+def test_minhash_empty_docs_no_blowup(ray_session):
+    """10k empty/whitespace docs: degenerate signatures are skipped before
+    banding, so the LSH stage emits zero bucket rows and the per-bucket
+    pair enumeration can't go quadratic (VERDICT r1 item 3)."""
+    import time
+
+    import ray
+
+    texts = ["" if i % 2 else "   \n\t " for i in range(10_000)]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    t0 = time.time()
+    assert dedup.minhash_candidate_pairs(ds).count() == 0
+    assert time.time() - t0 < 60  # all-pairs would be ~50M rows x 16 bands
+    assert dedup.minhash_dedup(ds) == []
+
+
+def test_minhash_bucket_cap_star_pairs(ray_session):
+    """A bucket over max_bucket_size emits O(m) star pairs to the bucket's
+    min id instead of O(m^2) all-pairs; clustering output is unchanged for
+    true-duplicate blobs because the component stays connected via the hub."""
+    import ray
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    ds = ray.data.from_arrow(_docs_table([base] * 40))
+    pairs = dedup.minhash_candidate_pairs(ds, max_bucket_size=10).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, i) for i in range(1, 40)}
+    clusters = dedup.minhash_dedup(ds, threshold=0.8, max_bucket_size=10)
+    assert clusters == [(i, 0) for i in range(40)]
+
+
 def test_exact_dedup_ray(ray_session):
     import ray
 
