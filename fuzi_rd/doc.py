@@ -43,6 +43,38 @@ _DATE_RE = re.compile(
 _NUM_RE = re.compile(r"^\s*[-+]?(\d[\d,]*(\.\d*)?|\.\d+)\s*$")
 
 
+def default_number_parser(s: str) -> float | None:
+    """Decimal-style number parse (reference's default ``numberFormatter``,
+    Document.swift:50-54: NumberFormatter with .decimal style)."""
+    if not _NUM_RE.match(s):
+        return None
+    try:
+        return float(s.strip().replace(",", ""))
+    except ValueError:
+        return None
+
+
+def default_date_parser(s: str) -> datetime.datetime | None:
+    """ISO-8601 ``yyyy-MM-dd'T'HH:mm:ssZ`` parse (reference's default
+    ``dateFormatter``, Document.swift:57-62, en_US_POSIX)."""
+    m = _DATE_RE.match(s)
+    if not m:
+        return None
+    y, mo, d, h, mi, sec, tz = m.groups()
+    if tz == "Z":
+        tzinfo = datetime.timezone.utc
+    else:
+        sign = 1 if tz[0] == "+" else -1
+        hh, mm = int(tz[1:3]), int(tz[-2:])
+        tzinfo = datetime.timezone(sign * datetime.timedelta(hours=hh, minutes=mm))
+    try:
+        return datetime.datetime(
+            int(y), int(mo), int(d), int(h), int(mi), int(sec), tzinfo=tzinfo
+        )
+    except ValueError:
+        return None
+
+
 @dataclass(frozen=True)
 class ElementSnapshot:
     """Immutable value copy of an element — the cross-boundary IR (reference
@@ -235,34 +267,11 @@ class Element(Node):
 
     @property
     def number_value(self) -> float | None:
-        s = self.string_value
-        if not _NUM_RE.match(s):
-            return None
-        try:
-            return float(s.strip().replace(",", ""))
-        except ValueError:
-            return None
+        return self.doc.number_parser(self.string_value)
 
     @property
     def date_value(self) -> datetime.datetime | None:
-        m = _DATE_RE.match(self.string_value)
-        if not m:
-            return None
-        y, mo, d, h, mi, s, tz = m.groups()
-        if tz == "Z":
-            tzinfo = datetime.timezone.utc
-        else:
-            sign = 1 if tz[0] == "+" else -1
-            hh, mm = int(tz[1:3]), int(tz[-2:])
-            tzinfo = datetime.timezone(
-                sign * datetime.timedelta(hours=hh, minutes=mm)
-            )
-        try:
-            return datetime.datetime(
-                int(y), int(mo), int(d), int(h), int(mi), int(s), tzinfo=tzinfo
-            )
-        except ValueError:
-            return None
+        return self.doc.date_parser(self.string_value)
 
     # -- mutation (fork additions, reference Element.swift:192-216) ----------
 
@@ -306,7 +315,14 @@ class Element(Node):
                 stack.append((c, dst_node))
         dst.finish()
         doc_cls = HTMLDocument if src.is_html else Document
-        return Element(doc_cls(dst), root_copy)
+        return Element(
+            doc_cls(
+                dst,
+                number_parser=self.doc.number_parser,
+                date_parser=self.doc.date_parser,
+            ),
+            root_copy,
+        )
 
     def remove(self) -> None:
         self.arena.remove(self.nid)
@@ -390,10 +406,15 @@ class Document:
 
     is_html = False
 
-    def __init__(self, arena: Arena):
+    def __init__(self, arena: Arena, number_parser=None, date_parser=None):
         self.arena = arena
         self.namespaces: dict[str, str] = {}
         self._xpath_cache: dict[str, object] = {}
+        # Formatter injection (reference Document.swift:50-62: callers swap
+        # numberFormatter/dateFormatter, the typed-value getters read the
+        # current one).  Plain attributes — reassign at any time.
+        self.number_parser = number_parser or default_number_parser
+        self.date_parser = date_parser or default_date_parser
 
     @property
     def version(self) -> str | None:
@@ -492,15 +513,25 @@ class HTMLDocument(Document):
         return r.first_child_tag("body") if r else None
 
 
-def parse_xml(data) -> Document:
-    """Parse XML bytes/str (reference XMLDocument.init, Document.swift:93-96)."""
+def parse_xml(data, number_parser=None, date_parser=None) -> Document:
+    """Parse XML bytes/str (reference XMLDocument.init, Document.swift:93-96).
+    Optional ``number_parser``/``date_parser`` callables (``str -> value |
+    None``) replace the default typed-value formatters (Document.swift:50-62)."""
     if isinstance(data, str):
         data = data.encode("utf-8")
     if not data:
         raise ParseError("parserFailure: empty input")
-    return Document(parse_xml_bytes(data))
+    return Document(
+        parse_xml_bytes(data), number_parser=number_parser, date_parser=date_parser
+    )
 
 
-def parse_html(data, encoding: str | None = None) -> HTMLDocument:
+def parse_html(
+    data, encoding: str | None = None, number_parser=None, date_parser=None
+) -> HTMLDocument:
     """Parse HTML bytes/str (reference HTMLDocument, Document.swift:211-213)."""
-    return HTMLDocument(parse_html_bytes(data, encoding))
+    return HTMLDocument(
+        parse_html_bytes(data, encoding),
+        number_parser=number_parser,
+        date_parser=date_parser,
+    )

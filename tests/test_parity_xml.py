@@ -119,6 +119,44 @@ def test_atom_entries(atom_doc):
     assert len(atom_doc.root.children_tag("entry")) == 1
 
 
+def test_formatter_injection():
+    """Callers can swap the number/date formatters, at parse time or later
+    (reference Document.swift:50-62: ``numberFormatter``/``dateFormatter``
+    are settable vars read by the typed-value getters)."""
+    from fuzi_rd.doc import parse_xml
+
+    xml = "<r><n>1.234,5</n><d>13/12/2003 18:30</d></r>"
+    doc = parse_xml(xml)
+    # defaults: European decimal comma and d/m/y are not parseable
+    assert doc.root.first_child_tag("n").number_value is None
+    assert doc.root.first_child_tag("d").date_value is None
+
+    def de_number(s):
+        try:
+            return float(s.strip().replace(".", "").replace(",", "."))
+        except ValueError:
+            return None
+
+    def dmy_date(s):
+        try:
+            return datetime.datetime.strptime(s.strip(), "%d/%m/%Y %H:%M")
+        except ValueError:
+            return None
+
+    doc2 = parse_xml(xml, number_parser=de_number, date_parser=dmy_date)
+    assert doc2.root.first_child_tag("n").number_value == 1234.5
+    assert doc2.root.first_child_tag("d").date_value == datetime.datetime(
+        2003, 12, 13, 18, 30
+    )
+    # runtime swap on an existing document (var semantics)
+    doc.number_parser = de_number
+    assert doc.root.first_child_tag("n").number_value == 1234.5
+    # a deep copy inherits the injected formatters (independent ownership,
+    # same configuration — reference copy() keeps document formatters)
+    copied = doc2.root.first_child_tag("n").copy_subtree()
+    assert copied.number_value == 1234.5
+
+
 def test_atom_namespace(atom_doc):
     entry = atom_doc.root.children_tag("entry")[0]
     namespaced = entry.children_tag("language", in_namespace="dc")
