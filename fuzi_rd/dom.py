@@ -17,15 +17,55 @@ never serialized into an Arrow block (SURVEY.md §1.2).
 
 from __future__ import annotations
 
-# Node type codes, numerically equal to libxml2's xmlElementType for the types
-# the reference surfaces (reference: Sources/Node.swift:30-73).
+# Node type codes, numerically equal to libxml2's xmlElementType — the FULL
+# enum the reference surfaces (reference: Sources/Node.swift:30-73).  The
+# parsers emit Element/Text/CDATA/EntityRef/Pi/Comment/Document nodes; the
+# remaining codes exist so callers porting reference code that matches on
+# any ``XMLNodeType`` case find the same named constants and values.
 ELEMENT = 1
 ATTRIBUTE = 2
 TEXT = 3
 CDATA = 4
 ENTITY_REF = 5
+ENTITY = 6
 PI = 7
 COMMENT = 8
+DOCUMENT = 9
+DOCUMENT_TYPE = 10
+DOCUMENT_FRAG = 11
+NOTATION = 12
+HTML_DOCUMENT = 13
+DTD = 14
+ELEMENT_DECL = 15
+ATTRIBUTE_DECL = 16
+ENTITY_DECL = 17
+NAMESPACE_DECL = 18
+XINCLUDE_START = 19
+XINCLUDE_END = 20
+
+#: name -> code view of the full enum (Sources/Node.swift:30-73 parity)
+NODE_TYPES = {
+    "Element": ELEMENT,
+    "Attribute": ATTRIBUTE,
+    "Text": TEXT,
+    "CDataSection": CDATA,
+    "EntityRef": ENTITY_REF,
+    "Entity": ENTITY,
+    "Pi": PI,
+    "Comment": COMMENT,
+    "Document": DOCUMENT,
+    "DocumentType": DOCUMENT_TYPE,
+    "DocumentFrag": DOCUMENT_FRAG,
+    "Notation": NOTATION,
+    "HtmlDocument": HTML_DOCUMENT,
+    "DTD": DTD,
+    "ElementDecl": ELEMENT_DECL,
+    "AttributeDecl": ATTRIBUTE_DECL,
+    "EntityDecl": ENTITY_DECL,
+    "NamespaceDecl": NAMESPACE_DECL,
+    "XIncludeStart": XINCLUDE_START,
+    "XIncludeEnd": XINCLUDE_END,
+}
 
 _NULL = -1
 

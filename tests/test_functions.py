@@ -115,6 +115,73 @@ def test_minhash_bucket_cap_star_pairs(ray_session):
     assert clusters == [(i, 0) for i in range(40)]
 
 
+def test_connected_components_matches_union_find(ray_session):
+    """Min-label propagation over the edge dataset computes the same
+    components as a driver-side union-find on random graphs (including a
+    4-hop chain, which needs several propagation iterations)."""
+    import ray
+
+    rng = np.random.RandomState(13)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 30, size=(25, 2)) if a != b]
+    edges += [(100, 101), (101, 102), (102, 103), (103, 104)]  # long chain
+    tbl = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in edges], pa.int64()),
+            "id_b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    labels = dedup.connected_components_min_label(ray.data.from_arrow(tbl))
+    got = {r["doc_id"]: r["label"] for r in labels.take_all()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_simhash_kernel_matches_scalar_spec():
+    """The vectorized batch kernel is bit-for-bit the majority-vote spec:
+    output bit i set iff more than half the tokens have hash bit i set."""
+    import hashlib
+    import struct
+
+    rng = np.random.RandomState(7)
+    vocab = ["w%d" % i for i in range(50)]
+    texts = ["", "   ", "one"] + [
+        " ".join(rng.choice(vocab, rng.randint(1, 40))) for _ in range(30)
+    ]
+    out = dedup._simhash_many(texts)
+    for text, got in zip(texts, out):
+        toks = text.lower().split()
+        want = 0
+        for i in range(64):
+            ones = sum(
+                (
+                    struct.unpack(
+                        "<Q",
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                    )[0]
+                    >> i
+                )
+                & 1
+                for t in toks
+            )
+            if 2 * ones > len(toks):
+                want |= 1 << i
+        assert int(got) == want, text
+
+
 def test_exact_dedup_ray(ray_session):
     import ray
 

@@ -119,6 +119,19 @@ def test_atom_entries(atom_doc):
     assert len(atom_doc.root.children_tag("entry")) == 1
 
 
+def test_full_node_type_enum_surface():
+    """The full libxml2 xmlElementType enum is surfaced with the reference's
+    case names and numeric values (reference Sources/Node.swift:30-73)."""
+    from fuzi_rd import dom
+
+    assert len(dom.NODE_TYPES) == 20
+    assert dom.NODE_TYPES["Element"] == 1
+    assert dom.NODE_TYPES["Comment"] == 8
+    assert dom.NODE_TYPES["HtmlDocument"] == 13
+    assert dom.NODE_TYPES["XIncludeEnd"] == 20
+    assert list(dom.NODE_TYPES.values()) == list(range(1, 21))
+
+
 def test_formatter_injection():
     """Callers can swap the number/date formatters, at parse time or later
     (reference Document.swift:50-62: ``numberFormatter``/``dateFormatter``
