@@ -344,6 +344,60 @@ def _q_emb_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.45)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Token-window chunking (size 128, disjoint) — the LLM-pipeline
+    pre-tokenization step as a streaming row-expanding map_batches."""
+    from fuzi_rd.functions.textstats import chunk_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        chunk_batch(size=128), batch_format="pyarrow"
+    )
+
+
+def _q_source_rollup(sf_dir: str):
+    """Per-source corpus stats: doc count + total chars (exact integers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    out = ds.groupby("source").aggregate(Count(), Sum("n_chars"))
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": pc.cast(batch.column("count()"), pa.int64()),
+                "total_chars": pc.cast(batch.column("sum(n_chars)"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def _q_doc_sample(sf_dir: str):
+    """Deterministic hash sampling: keep ~10% of documents by md5(doc_id)
+    bucket — reproducible corpus sampling with NO shuffle and no RNG state
+    (the same doc set survives across runs/engines, unlike random_sample)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                hashlib.md5(str(d).encode()).digest()[0] < 26  # 26/256 ~ 10%
+                for d in batch.column("doc_id").to_pylist()
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_docs_top_longest(sf_dir: str):
     """Sort + top-k over documents by length (deterministic tiebreak)."""
     import pyarrow as pa
@@ -721,6 +775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk": _q_sim_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "emb_near_dup": _q_emb_near_dup,
+        "doc_chunks": _q_doc_chunks,
+        "source_rollup": _q_source_rollup,
+        "doc_sample": _q_doc_sample,
         "docs_top_longest": _q_docs_top_longest,
         "events_hourly": _q_events_hourly,
         "top_orders_per_status": _q_top_orders_per_status,
@@ -859,6 +916,33 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, round(raw, 4) AS sim
             FROM p WHERE raw >= 0.45
+        """,
+        "source_rollup": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "doc_sample": """
+            -- first md5 byte < 26 (0x1a): the two leading lowercase hex
+            -- chars compare lexicographically == numerically
+            SELECT doc_id, text FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                     w[(i*128+1):(i*128+128)] AS win
+              FROM toks,
+                   unnest(range(0, CAST(ceil(len(w) / 128.0) AS BIGINT))) AS t(i))
+            SELECT doc_id, chunk_id,
+                   CAST(len(win) AS BIGINT) AS n_tokens,
+                   array_to_string(win, ' ') AS chunk_text
+            FROM c
         """,
         "docs_top_longest": """
             SELECT doc_id, length(text) AS n_chars

@@ -9,6 +9,7 @@ Operators:
   quality_score   integer-threshold quality gate (length / punct / alpha)
   fingerprint     md5 of whitespace-normalized lowercased text
   lang_id         n-gram/script heuristic language guess (non-SQL oracle)
+  chunk_batch     row-expanding token-window chunker (LLM pre-tokenization)
 """
 
 from __future__ import annotations
@@ -134,3 +135,46 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
             "lang_guess": pa.array(langs, pa.string()),
         }
     )
+
+
+def chunk_batch(size: int = 128, stride: int | None = None, min_tokens: int = 1):
+    """Row-expanding token-window chunker: each document becomes
+    ceil(n_tokens / stride) rows of (doc_id, chunk_id, n_tokens, chunk_text)
+    — the standard pre-tokenization step of an LLM training-data pipeline.
+
+    Whitespace tokens (same definition as token_stats); ``stride`` defaults
+    to ``size`` (disjoint windows; set stride < size for overlap); trailing
+    windows shorter than ``min_tokens`` are dropped.  Runs inside
+    ``map_batches`` so chunking streams — no shuffle, output rows inherit
+    the input's partitioning.
+
+    Scale note: output is ~(1 + overlap) x input text; write chunks straight
+    to partitioned parquet rather than aggregating them."""
+    step = stride or size
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids, cids, ntk, texts = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (text or "").split()
+            cid = 0
+            for start in range(0, len(toks), step):
+                window = toks[start : start + size]
+                if len(window) < min_tokens:
+                    break
+                ids.append(doc_id)
+                cids.append(cid)
+                ntk.append(len(window))
+                texts.append(" ".join(window))
+                cid += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "n_tokens": pa.array(ntk, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return _chunks

@@ -34,6 +34,25 @@ def test_quality_gate():
     assert t.column("quality_ok").to_pylist() == [True, False, False]
 
 
+def test_chunking():
+    toks = ["t%d" % i for i in range(300)]
+    t = textstats.chunk_batch(size=128)(_docs_table([" ".join(toks), "", "a b"]))
+    # doc 0: 300 tokens -> chunks of 128/128/44; doc 1 empty -> none; doc 2 -> 1
+    assert t.column("doc_id").to_pylist() == [0, 0, 0, 2]
+    assert t.column("chunk_id").to_pylist() == [0, 1, 2, 0]
+    assert t.column("n_tokens").to_pylist() == [128, 128, 44, 2]
+    assert t.column("chunk_text").to_pylist()[0] == " ".join(toks[:128])
+    assert t.column("chunk_text").to_pylist()[2] == " ".join(toks[256:])
+    # overlapping windows: stride < size
+    t2 = textstats.chunk_batch(size=4, stride=2)(_docs_table(["a b c d e f"]))
+    assert t2.column("chunk_text").to_pylist() == ["a b c d", "c d e f", "e f"]
+    # min_tokens drops short trailing windows
+    t3 = textstats.chunk_batch(size=4, stride=2, min_tokens=3)(
+        _docs_table(["a b c d e f"])
+    )
+    assert t3.column("chunk_text").to_pylist() == ["a b c d", "c d e f"]
+
+
 def test_lang_guess():
     assert textstats.guess_lang("这是一段中文文本，用于测试语言识别") == "zh"
     assert textstats.guess_lang("Русский текст для проверки") == "ru"
