@@ -132,6 +132,7 @@ def run_query_bench(sf_dir: str) -> dict:
     picked = [
         "doc_token_stats",
         "doc_quality",
+        "doc_chunks",
         "dedup_exact",
         "minhash_bands",
         "simhash_pairs",
