@@ -462,6 +462,63 @@ def _q_events_hourly(sf_dir: str):
     return out.map_batches(post, batch_format="pyarrow")
 
 
+def _q_user_sessions(sf_dir: str):
+    """Gap-based session windows (30-min inactivity gap) per user — the
+    streaming session-window analog as one hash shuffle + vectorized
+    per-group assignment."""
+    from fuzi_rd.functions.windows import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return sessionize(ds, key="user_id", ts="ts", gap_us=30 * 60 * 1_000_000)
+
+
+def _q_purchase_attribution(sf_dir: str):
+    """As-of join: each purchase event attached to the user's latest
+    signup event at-or-before it (backward inequality join Ray Data
+    lacks; implemented as tagged-union groupby + searchsorted)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.relational import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("event_type"), kind)
+            ).select(["event_id", "ts", "user_id"])
+
+        return f
+
+    purchases = ev.map_batches(_only("purchase"), batch_format="pyarrow")
+    signups = ev.map_batches(_only("signup"), batch_format="pyarrow")
+    joined = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        ts="ts",
+        left_cols=["event_id", "ts"],
+        right_cols=["event_id", "ts"],
+        right_suffix="_signup",
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "signup_event_id": batch.column("event_id_signup"),
+                "lag_us": pc.subtract(
+                    pc.cast(batch.column("ts"), pa.int64()),
+                    pc.cast(batch.column("ts_signup"), pa.int64()),
+                ),
+            }
+        )
+
+    return joined.map_batches(post, batch_format="pyarrow")
+
+
 def _q_top_orders_per_status(sf_dir: str):
     """Per-group top-k: 3 highest-value orders per order status
     (groupby().map_groups with an in-group sort; deterministic tiebreak)."""
@@ -780,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "docs_top_longest": _q_docs_top_longest,
         "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "purchase_attribution": _q_purchase_attribution,
         "top_orders_per_status": _q_top_orders_per_status,
         "parts_by_brand": _q_parts_by_brand,
         # rows-only (no SQL equivalent)
@@ -958,6 +1017,45 @@ def oracle_sql() -> dict[str, str]:
                        AS total_value_milli
             FROM events
             GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) - 1
+                         AS session_id
+              FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "purchase_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 s AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'signup'),
+                 j AS (
+                   SELECT p.event_id, p.user_id, p.ts,
+                          s.event_id AS signup_event_id, s.ts AS signup_ts,
+                          row_number() OVER (
+                            PARTITION BY p.event_id
+                            ORDER BY s.ts DESC, s.event_id DESC) AS rn
+                   FROM p JOIN s
+                     ON p.user_id = s.user_id AND s.ts <= p.ts)
+            SELECT event_id, user_id, signup_event_id,
+                   CAST(epoch_us(ts) - epoch_us(signup_ts) AS BIGINT) AS lag_us
+            FROM j WHERE rn = 1
         """,
         "top_orders_per_status": """
             WITH ranked AS (

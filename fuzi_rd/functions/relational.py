@@ -6,6 +6,11 @@ engine-level operators expressed Ray-Data-first.
                    (never re-shipped per batch); avoids an all-to-all
                    shuffle when one side fits in memory.  Lookup is fully
                    vectorized (pc.index_in + take), no per-row Python.
+  asof_join        inequality join Ray Data lacks: each left row matched to
+                   the LATEST right row with right.ts <= left.ts in the
+                   same key group.  One hash shuffle on the key (tagged
+                   union + groupby), then a vectorized searchsorted per
+                   group — no driver state, no broadcast.
 """
 
 from __future__ import annotations
@@ -50,3 +55,100 @@ def broadcast_join(ds, small: pa.Table, key: str, value_cols: list[str],
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_suffix: str = "_right",
+):
+    """As-of (backward inequality) join: for every left row, attach the
+    latest right row whose ``ts`` is <= the left row's ``ts`` within the
+    same ``key`` group; left rows with no prior right row are dropped
+    (inner-asof).  Equal-timestamp right rows match (inclusive); ties among
+    right rows at the same ts resolve to the largest ``right_cols[0]``
+    value, so output is deterministic.
+
+    Plan: tag both sides, union, ONE groupby hash shuffle on the key, then
+    per group a numpy sort + searchsorted (O((l+r) log r)).  Partitioning
+    assumption: one key's rows (both sides) fit in a group task — the same
+    assumption as any per-key window; split hot keys upstream (e.g. by
+    day) if a key's history is unbounded."""
+    import numpy as np
+
+    out_right = [c + right_suffix for c in right_cols]
+    all_cols = left_cols + out_right
+    # both tagged sides must union with IDENTICAL schemas: null-fill the
+    # other side's columns with the owning side's real dtype
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    types = {c: lschema.base_schema.field(c).type for c in left_cols}
+    types.update(
+        {
+            c + right_suffix: rschema.base_schema.field(c).type
+            for c in right_cols
+        }
+    )
+
+    def _tag(side: int, cols: list[str]):
+        def tag(batch: pa.Table) -> pa.Table:
+            t = batch.column(ts)
+            if pa.types.is_timestamp(t.type):
+                t = t.cast(pa.int64())
+            data = {
+                key: batch.column(key),
+                "__ts": t,
+                "__side": pa.array([side] * len(batch), pa.int8()),
+            }
+            for c in all_cols:
+                data[c] = (
+                    batch.column(c.removesuffix(right_suffix) if side else c)
+                    if c in cols
+                    else pa.nulls(len(batch), types[c])
+                )
+            return pa.table(data)
+
+        return tag
+
+    lt = left_ds.map_batches(_tag(0, left_cols), batch_format="pyarrow")
+    rt = right_ds.map_batches(_tag(1, out_right), batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        t = group.column("__ts").to_numpy(zero_copy_only=False)
+        left_mask = side == 0
+        right_mask = ~left_mask
+        empty = {
+            key: pa.array([], group.schema.field(key).type),
+            **{c: pa.array([], group.schema.field(c).type) for c in all_cols},
+        }
+        if not left_mask.any() or not right_mask.any():
+            return pa.table(empty)
+        l_idx = np.nonzero(left_mask)[0]
+        r_idx = np.nonzero(right_mask)[0]
+        # right side sorted by (ts, tiebreak col) so equal-ts ties resolve
+        # to the largest tiebreak value deterministically (take the right
+        # rows first: the full column holds left-side nulls)
+        r_tie = (
+            group.column(out_right[0])
+            .take(pa.array(r_idx))
+            .to_numpy(zero_copy_only=False)
+        )
+        r_order = np.lexsort((r_tie, t[r_idx]))
+        r_sorted = r_idx[r_order]
+        r_ts = t[r_sorted]
+        pos = np.searchsorted(r_ts, t[l_idx], side="right") - 1
+        matched = pos >= 0
+        l_keep = l_idx[matched]
+        r_match = r_sorted[pos[matched]]
+        data = {key: group.column(key).take(pa.array(l_keep))}
+        for c in left_cols:
+            data[c] = group.column(c).take(pa.array(l_keep))
+        for c in out_right:
+            data[c] = group.column(c).take(pa.array(r_match))
+        return pa.table(data)
+
+    return lt.union(rt).groupby(key).map_groups(_merge, batch_format="pyarrow")

@@ -365,6 +365,76 @@ def test_broadcast_join(ray_session):
     assert by_v["e"]["name"] is None and by_v["e"]["x10"] is None
 
 
+def test_sessionize(ray_session):
+    import ray
+
+    from fuzi_rd.functions.windows import sessionize
+
+    M = 60 * 1_000_000  # one minute in us
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(7), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array(
+                # user 1: 0, 10m, 40m(gap=30m exactly -> same session),
+                #         71m (gap 31m -> new session)
+                [0, 10 * M, 40 * M, 71 * M, 5 * M, 36 * M, 0],
+                pa.int64(),
+            ),
+        }
+    )
+    out = sessionize(
+        ray.data.from_arrow(tbl), key="user_id", ts="ts", gap_us=30 * M
+    ).take_all()
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"]) for r in out}
+    assert got == {
+        (1, 0): (3, 40 * M),  # exactly-30m gap stays in session
+        (1, 1): (1, 0),
+        (2, 0): (1, 0),  # 31m gap for user 2 -> two singleton sessions
+        (2, 1): (1, 0),
+        (3, 0): (1, 0),
+    }
+
+
+def test_asof_join(ray_session):
+    import ray
+
+    from fuzi_rd.functions.relational import asof_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([100, 250, 65, 70], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            # user 1: rows at ts 100 (two rows, tie -> max event_id=3) and 200
+            "ts": pa.array([100, 200, 100, 60, 60], pa.int64()),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        key="user_id",
+        ts="ts",
+        left_cols=["event_id", "ts"],
+        right_cols=["event_id", "ts"],
+        right_suffix="_r",
+    ).take_all()
+    got = {r["event_id"]: (r["event_id_r"], r["ts_r"]) for r in out}
+    assert got == {
+        10: (3, 100),  # inclusive match at equal ts; tie -> larger event_id
+        11: (2, 200),  # latest at-or-before 250
+        12: (5, 60),   # tie at ts 60 -> event_id 5
+        # 13 dropped: user 3 has no right rows (inner-asof)
+    }
+    assert len(out) == 3
+
+
 def test_media_resize_plumbing(ray_session):
     import ray
 
