@@ -519,6 +519,53 @@ def _q_purchase_attribution(sf_dir: str):
     return joined.map_batches(post, batch_format="pyarrow")
 
 
+def _q_value_bands(sf_dir: str):
+    """Broadcast range join: classify each event's value into a half-open
+    band [lo, hi), then roll up per band (count + exact milli sum)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from fuzi_rd.functions.relational import interval_join
+
+    bands = pa.table(
+        {
+            "band": pa.array(["neg", "low", "mid", "high", "huge"]),
+            "lo": pa.array([-1e18, 0.0, 50.0, 100.0, 200.0], pa.float64()),
+            "hi": pa.array([0.0, 50.0, 100.0, 200.0, 1e18], pa.float64()),
+        }
+    )
+    ds = _read(sf_dir, "events", columns=["value"])
+    labeled = interval_join(ds, bands, "value", "lo", "hi", ["band"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": batch.column("band"),
+                "value_milli": _scaled_i64(batch.column("value"), 1000),
+            }
+        )
+
+    out = (
+        labeled.map_batches(prep, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(), Sum("value_milli"))
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": batch.column("band"),
+                "n_events": pc.cast(batch.column("count()"), pa.int64()),
+                "total_value_milli": pc.cast(
+                    batch.column("sum(value_milli)"), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
 def _q_top_orders_per_status(sf_dir: str):
     """Per-group top-k: 3 highest-value orders per order status
     (groupby().map_groups with an in-group sort; deterministic tiebreak)."""
@@ -839,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "purchase_attribution": _q_purchase_attribution,
+        "value_bands": _q_value_bands,
         "top_orders_per_status": _q_top_orders_per_status,
         "parts_by_brand": _q_parts_by_brand,
         # rows-only (no SQL equivalent)
@@ -1056,6 +1104,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, signup_event_id,
                    CAST(epoch_us(ts) - epoch_us(signup_ts) AS BIGINT) AS lag_us
             FROM j WHERE rn = 1
+        """,
+        "value_bands": """
+            WITH b AS (
+              SELECT * FROM (VALUES
+                ('neg', -1e18, 0.0), ('low', 0.0, 50.0), ('mid', 50.0, 100.0),
+                ('high', 100.0, 200.0), ('huge', 200.0, 1e18))
+              AS t(band, lo, hi))
+            SELECT b.band, count(*) AS n_events,
+                   CAST(sum(CAST(round(e.value * 1000) AS BIGINT)) AS BIGINT)
+                       AS total_value_milli
+            FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band
         """,
         "top_orders_per_status": """
             WITH ranked AS (

@@ -138,6 +138,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "simhash_pairs",
         "q1_lineitem",
         "events_rollup",
+        "user_sessions",
+        "purchase_attribution",
         "orders_by_nation",
         "sim_topk",
         "lsh_topk",

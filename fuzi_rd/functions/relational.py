@@ -152,3 +152,53 @@ def asof_join(
         return pa.table(data)
 
     return lt.union(rt).groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+
+def interval_join(
+    ds,
+    intervals: pa.Table,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    label_cols: list[str],
+    concurrency=(1, 8),
+):
+    """Broadcast range join: label each row with the half-open interval
+    [lo, hi) that contains ``row[value_col]``; rows outside every interval
+    get null labels (left-join semantics).  Intervals must be
+    non-overlapping (the banding/classification case).
+
+    Scale shape: the interval table is ray.put ONCE and read zero-copy per
+    actor; the big side streams through one vectorized searchsorted per
+    batch — no shuffle at all.  For interval sets too big to broadcast,
+    bucket both sides by a range-partitioned key instead (not needed for
+    banding tables, which are tiny by construction)."""
+    import numpy as np
+    import ray
+
+    intervals = intervals.sort_by(lo_col).combine_chunks()
+    ref = ray.put(intervals)
+
+    class Bander:
+        def __init__(self):
+            tbl = ray.get(ref)
+            self.lo = tbl.column(lo_col).to_numpy()
+            self.hi = tbl.column(hi_col).to_numpy()
+            self.labels = {c: tbl.column(c) for c in label_cols}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.lo, v, side="right") - 1
+            safe = np.maximum(idx, 0)
+            ok = pa.array((idx >= 0) & (v < self.hi[safe]))
+            for c in label_cols:
+                taken = pc.take(self.labels[c], pa.array(safe))
+                batch = batch.append_column(
+                    c,
+                    pc.if_else(ok, taken, pa.scalar(None, taken.type)),
+                )
+            return batch
+
+    return ds.map_batches(
+        Bander, batch_format="pyarrow", concurrency=concurrency
+    )

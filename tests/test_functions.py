@@ -435,6 +435,33 @@ def test_asof_join(ray_session):
     assert len(out) == 3
 
 
+def test_interval_join(ray_session):
+    import ray
+
+    from fuzi_rd.functions.relational import interval_join
+
+    bands = pa.table(
+        {
+            "band": pa.array(["a", "b"]),
+            "lo": pa.array([0.0, 10.0], pa.float64()),
+            "hi": pa.array([10.0, 20.0], pa.float64()),
+        }
+    )
+    data = pa.table(
+        {
+            "id": pa.array(range(5), pa.int64()),
+            # -1 outside; 0 in a; 10 exactly -> b (half-open); 19.9 in b;
+            # 20 outside (hi exclusive)
+            "v": pa.array([-1.0, 0.0, 10.0, 19.9, 20.0], pa.float64()),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(data), bands, "v", "lo", "hi", ["band"]
+    ).take_all()
+    got = {r["id"]: r["band"] for r in out}
+    assert got == {0: None, 1: "a", 2: "b", 3: "b", 4: None}
+
+
 def test_media_resize_plumbing(ray_session):
     import ray
 
