@@ -31,7 +31,7 @@ import pyarrow as pa
 
 from fuzi_rd.css import xpath_from_css
 from fuzi_rd.dom import ELEMENT
-from fuzi_rd.errors import FuziError
+from fuzi_rd.errors import FuziError, ParseError
 from fuzi_rd.extract import extract_main_content, kill_boilerplate_nodes, _title_of
 from fuzi_rd.html_parser import parse_html_bytes
 from fuzi_rd.xpath import compile_xpath, evaluate, string_value
@@ -66,6 +66,17 @@ class ExtractPages:
             self.recipe[name] = compile_xpath(xp)
         self.num_parts = num_parts
         self.emit_spans = emit_spans
+        # Optional C parse kernel (fuzi_rd/_chtml.c): built/loaded once per
+        # actor; the import-time self-check plus the differential suite
+        # (tests/test_chtml_equivalence.py) gate its use.  Documents it
+        # declines (returns None) fall back to the Python parser, so output
+        # is byte-identical either way.
+        try:
+            from fuzi_rd import chtml
+
+            self._chtml = chtml if chtml.available() else None
+        except Exception:
+            self._chtml = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from time import perf_counter_ns
@@ -100,7 +111,16 @@ class ExtractPages:
             t_row = perf_counter_ns()
             try:
                 # line numbers are not emitted by this stage — skip tracking
-                arena = parse_html_bytes(raw, track_lines=False)
+                arena = None
+                if self._chtml is not None:
+                    try:
+                        arena = self._chtml.parse_html_bytes_fast(raw)
+                    except ParseError:
+                        raise  # same error the Python parser would raise
+                    except Exception:
+                        arena = None  # kernel bug: Python is the authority
+                if arena is None:
+                    arena = parse_html_bytes(raw, track_lines=False)
                 titles[i] = _title_of(arena)
                 for name, ast in self.recipe.items():
                     try:
