@@ -74,15 +74,18 @@ def extract_dataset(
 
     n_cpus = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
-        # FIXED pool reserving at least 30% of CPUs for the IO task pools.
-        # Two measured facts drive this: (1) an autoscaling pool sits at its
+        # FIXED pool reserving ~25% of CPUs for the IO task pools.  Two
+        # measured facts drive this: (1) an autoscaling pool sits at its
         # floor (4 busy actors on an 8-cpu run with concurrency=(4, 8)),
-        # idling most of the cluster; (2) the job's compute is ~85%
-        # extraction / ~15% read+write, so giving actors more than ~70%
-        # starves the parquet read/write task pools and the whole pipeline
-        # slows (sweep at 32 cpus: 16 actors -> 22.4k docs/s, 22 -> 27.0k,
-        # 28 -> 23.8k).  A pool of ALL cpus deadlocks the reads that feed it.
-        concurrency = max(1, int(n_cpus * 0.7))
+        # idling most of the cluster; (2) extraction dominates compute, and
+        # past ~75% actors the parquet read/write task pools starve and the
+        # whole pipeline slows.  C-kernel-era sweep (1M pages):
+        #   32 cpus: 22 -> 64.6k docs/s, 24 -> 66.0k, 26 -> 61-70k,
+        #            28 -> 47.5k, 30 -> 31.6k
+        #    8 cpus: 5 -> 16.3k, 6 -> 19.6k, 7 -> 18.7k
+        # (pre-kernel optimum was 0.7x; the faster actors shift it to 0.75x.)
+        # A pool of ALL cpus deadlocks the reads that feed it.
+        concurrency = max(1, int(n_cpus * 0.75))
 
     # The meta stage (url-hash part + html size) only exists to feed the
     # resume filter and the skew router; the extractor computes `part`
