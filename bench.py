@@ -30,7 +30,10 @@ BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "100000"))
 # big enough that steady-state throughput dominates the fixed ~5-10 s
 # session/actor-pool ramp (the real 100 TB job runs for hours; a sub-minute
 # proxy job would measure startup, not scaling)
-SCALING_PAGE_ROWS = int(os.environ.get("FUZI_SCALING_PAGES", "1000000"))
+# 8M pages: with the C parse kernel a 1M job finishes in ~19 s at 32 cpus
+# and the ~4 s session/pool spin-up structurally deflates the wide leg;
+# at 8M the ramp is ~3% of the 32-leg wall on both legs
+SCALING_PAGE_ROWS = int(os.environ.get("FUZI_SCALING_PAGES", "8000000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 

@@ -160,13 +160,26 @@ def parse_html_bytes_fast(data, encoding: str | None = None):
         raw = bytes(data)
         if not raw:
             raise ParseError("parserFailure: empty input")
-        text, declared = _decode_html(raw, encoding)
+        # ASCII fast path: skip the decode/encode round-trip (2 full-page
+        # copies) — ASCII bytes are the same text under every ASCII-
+        # compatible charset, so only a declared charset (which _decode_html
+        # would record) forces the slow path
+        if (
+            encoding is None
+            and raw.isascii()
+            and b"charset=" not in raw[:2048].lower()
+        ):
+            buf = raw
+            declared = "UTF-8"
+        else:
+            text, declared = _decode_html(raw, encoding)
+            buf = text.encode("utf-8")
     else:
         text = data
         declared = "UTF-8"
         if not text:
             raise ParseError("parserFailure: empty input")
-    buf = text.encode("utf-8")
+        buf = text.encode("utf-8")
     n = len(buf)
 
     if _bufs is None:
