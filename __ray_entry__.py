@@ -344,6 +344,26 @@ def _q_emb_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.45)
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Within-document n-gram repetition fraction (Gopher-style quality
+    signal), exact milli units."""
+    from fuzi_rd.functions.textstats import repetition_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+def _q_doc_pii_counts(sf_dir: str):
+    """Email/URL pattern counts per document (vectorized regex kernels —
+    the cheap pre-filter before an expensive PII-scrub pass)."""
+    from fuzi_rd.functions.textstats import pii_counts_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        pii_counts_batch, batch_format="pyarrow"
+    )
+
+
 def _q_doc_chunks(sf_dir: str):
     """Token-window chunking (size 128, disjoint) — the LLM-pipeline
     pre-tokenization step as a streaming row-expanding map_batches."""
@@ -880,6 +900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "emb_near_dup": _q_emb_near_dup,
         "doc_chunks": _q_doc_chunks,
+        "doc_repetition": _q_doc_repetition,
+        "doc_pii_counts": _q_doc_pii_counts,
         "source_rollup": _q_source_rollup,
         "doc_sample": _q_doc_sample,
         "docs_top_longest": _q_docs_top_longest,
@@ -1023,6 +1045,33 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, round(raw, 4) AS sim
             FROM p WHERE raw >= 0.45
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3),
+            agg AS (
+              SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+              FROM sh GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(COALESCE((1000 * (a.total - a.dist)) // a.total, 0)
+                        AS BIGINT) AS dup_ngram_milli
+            FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        """,
+        "doc_pii_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
+                       AS BIGINT) AS n_urls
+            FROM documents
         """,
         "source_rollup": """
             SELECT source, count(*) AS n_docs,

@@ -178,3 +178,46 @@ def chunk_batch(size: int = 128, stride: int | None = None, min_tokens: int = 1)
         )
 
     return _chunks
+
+
+def repetition_batch(batch: pa.Table, n: int = 3) -> pa.Table:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of word n-grams that are duplicates, in exact milli units
+    (floor(1000 * (total - distinct) / total); 0 when fewer than n tokens).
+    Repetitive boilerplate / SEO spam scores high."""
+    ids = batch.column("doc_id")
+    out = []
+    for t in batch.column("text").to_pylist():
+        toks = (t or "").lower().split()
+        total = len(toks) - n + 1
+        if total <= 0:
+            out.append(0)
+            continue
+        distinct = len({tuple(toks[i : i + n]) for i in range(total)})
+        out.append((1000 * (total - distinct)) // total)
+    return pa.table(
+        {"doc_id": ids, "dup_ngram_milli": pa.array(out, pa.int64())}
+    )
+
+
+# simple, engine-portable patterns (same semantics in Python re and RE2)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def pii_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-document counts of email-like and URL-like substrings —
+    vectorized pyarrow regex kernels (the cheap pre-filter a PII-scrubbing
+    pass runs before expensive NER)."""
+    text = batch.column("text")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_emails": pc.cast(
+                pc.count_substring_regex(text, _EMAIL_RE), pa.int64()
+            ),
+            "n_urls": pc.cast(
+                pc.count_substring_regex(text, _URL_RE), pa.int64()
+            ),
+        }
+    )

@@ -53,6 +53,36 @@ def test_chunking():
     assert t3.column("chunk_text").to_pylist() == ["a b c d", "c d e f"]
 
 
+def test_repetition():
+    t = textstats.repetition_batch(
+        _docs_table(
+            [
+                "a b c " * 10,        # "a b c a b c ..." is maximally repetitive
+                "w1 w2 w3 w4 w5 w6",  # all 3-grams distinct -> 0
+                "too short",          # < 3 tokens -> 0
+                "",
+            ]
+        )
+    )
+    vals = t.column("dup_ngram_milli").to_pylist()
+    assert vals[0] == (1000 * (28 - 3)) // 28  # 28 total 3-grams, 3 distinct
+    assert vals[1:] == [0, 0, 0]
+
+
+def test_pii_counts():
+    t = textstats.pii_counts_batch(
+        _docs_table(
+            [
+                "mail me at a.b+c@example.com or x@y.org thanks",
+                "see https://example.com/page and http://a.b/c?d=1",
+                "no patterns here",
+            ]
+        )
+    )
+    assert t.column("n_emails").to_pylist() == [2, 0, 0]
+    assert t.column("n_urls").to_pylist() == [0, 2, 0]
+
+
 def test_lang_guess():
     assert textstats.guess_lang("这是一段中文文本，用于测试语言识别") == "zh"
     assert textstats.guess_lang("Русский текст для проверки") == "ru"
