@@ -26,7 +26,10 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent
-BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "100000"))
+# 1M default: at C-kernel speed a 100k job is ~60% session/actor-pool
+# spin-up and the headline stops measuring the pipeline; 1M pages put the
+# ramp under 20% of the wall (page table is generated once, cached in /tmp)
+BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "1000000"))
 # big enough that steady-state throughput dominates the fixed ~5-10 s
 # session/actor-pool ramp (the real 100 TB job runs for hours; a sub-minute
 # proxy job would measure startup, not scaling)
