@@ -149,6 +149,14 @@ def _arena_equal(a: Arena, b: Arena) -> bool:
     )
 
 
+def _valid_utf8(raw: bytes) -> bool:
+    try:
+        raw.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
 def parse_html_bytes_fast(data, encoding: str | None = None):
     """C-kernel parse; returns an Arena, or None when the kernel defers to
     Python (caller must fall back).  Raises ParseError like the Python
@@ -160,15 +168,21 @@ def parse_html_bytes_fast(data, encoding: str | None = None):
         raw = bytes(data)
         if not raw:
             raise ParseError("parserFailure: empty input")
-        # ASCII fast path: skip the decode/encode round-trip (2 full-page
-        # copies) — ASCII bytes are the same text under every ASCII-
-        # compatible charset, so only a declared charset (which _decode_html
-        # would record) forces the slow path
-        if (
+        # Fast paths that skip the decode/encode round-trip (2 full-page
+        # copies).  Preconditions: no caller-forced encoding, no declared
+        # charset (which _decode_html would record), no BOM (the Python
+        # parser strips it before tokenizing).  Then ASCII bytes are the
+        # same text under every ASCII-compatible charset, and bytes that
+        # STRICT-decode as UTF-8 are already their own UTF-8 encoding.
+        fast = (
             encoding is None
-            and raw.isascii()
             and b"charset=" not in raw[:2048].lower()
-        ):
+            and not raw.startswith((b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff"))
+        )
+        if fast and raw.isascii():
+            buf = raw
+            declared = "UTF-8"
+        elif fast and _valid_utf8(raw):
             buf = raw
             declared = "UTF-8"
         else:
