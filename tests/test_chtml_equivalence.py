@@ -137,3 +137,10 @@ def test_fuzz_random_bytes_no_divergence():
         size = rng.randint(0, 300)
         data = bytes(rng.choice(alphabet) for _ in range(size))
         _assert_equiv(data, f"fuzz[{trial}]")
+    # fully random bytes: invalid UTF-8, control chars, stray '<' — the
+    # decode("replace") path and every decline rule get exercised
+    rng2 = random.Random(77)
+    for trial in range(200):
+        size = rng2.randint(0, 200)
+        data = bytes(rng2.randrange(256) for _ in range(size))
+        _assert_equiv(data, f"rawfuzz[{trial}]")
