@@ -327,21 +327,24 @@ def _q_sim_topk(sf_dir: str):
 
 def _q_ngram_jaccard(sf_dir: str):
     """Inverted-index word-3-gram Jaccard pairs >= 0.5 (exact integer
-    arithmetic, matches the SQL oracle bit-for-bit)."""
+    arithmetic, matches the SQL oracle bit-for-bit; df_cap=None keeps the
+    exact semantics the oracle needs — production uses the default cap)."""
     from fuzi_rd.functions.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, n=3, threshold_milli=500)
+    return ngram_jaccard_pairs(ds, n=3, threshold_milli=500, df_cap=None)
 
 
 def _q_emb_near_dup(sf_dir: str):
     """Exact all-pairs cosine near-duplicates (broadcast matrix + per-batch
     matmul).  Threshold 0.45 chosen to be non-trivial on the synthetic
-    embeddings (max pairwise sim ~0.51)."""
+    embeddings (max pairwise sim ~0.51).  The explicit max_rows makes the
+    driver-side-baseline contract visible at the call site; corpus-scale
+    callers use embedding_near_dup_lsh."""
     from fuzi_rd.functions.dedup import embedding_near_dup
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_dup(ds, threshold=0.45)
+    return embedding_near_dup(ds, threshold=0.45, max_rows=100_000)
 
 
 def _q_doc_repetition(sf_dir: str):
@@ -678,18 +681,29 @@ def _q_minhash_bands(sf_dir: str):
 
 
 def _q_minhash_dedup(sf_dir: str):
+    """Near-dup cluster assignment as a Dataset (doc_id, cluster_rep) — the
+    whole job, including the returned assignment, stays distributed."""
     import pyarrow as pa
 
     from fuzi_rd.functions.dedup import minhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    clusters = minhash_dedup(ds, threshold=0.8)
-    return pa.table(
-        {
-            "doc_id": pa.array([c[0] for c in clusters], pa.int64()),
-            "cluster_rep": pa.array([c[1] for c in clusters], pa.int64()),
-        }
-    )
+    labels = minhash_dedup(ds, threshold=0.8)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "cluster_rep"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_minhash_keep(sf_dir: str):
+    """Filter form of near-dup removal: documents with near-duplicates
+    dropped (min-id representative survives per cluster) via a
+    hash-partitioned anti-join — no driver-side winner set."""
+    from fuzi_rd.functions.dedup import minhash_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_keep(ds, threshold=0.8)
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -915,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_doc_lang_id,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_keep": _q_minhash_keep,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,

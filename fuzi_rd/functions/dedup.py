@@ -174,24 +174,32 @@ def _minhash_batch(batch: pa.Table) -> pa.Table:
 # Buckets beyond this size switch from all-pairs to star pairs (see
 # _bucket_pairs); bounds any one bucket's output at O(m) instead of O(m^2).
 DEFAULT_MAX_BUCKET = 512
+# Hubs per oversized bucket.  One hub loses a component whenever two true
+# near-dups both verify below threshold against it (similarity is not
+# transitive); k independent hubs make that k-fold less likely at O(k*m)
+# edges.  Recall in star mode is still < all-pairs by construction.
+DEFAULT_N_HUBS = 2
 
 
-def _bucket_pairs_capped(max_bucket_size: int | None):
+def _bucket_pairs_capped(max_bucket_size: int | None, n_hubs: int = DEFAULT_N_HUBS):
     def _bucket_pairs(group: pa.Table) -> pa.Table:
         """Candidate pairs within one LSH bucket (map_groups).
 
         Skew guard: a bucket larger than ``max_bucket_size`` (mass-duplicated
         boilerplate) emits STAR pairs — every member against the bucket's
-        min id — instead of all pairs.  O(m) edges preserve the connected
-        component through the hub (verification still applies per edge), so
-        clustering output for true duplicate blobs is unchanged while a
-        1M-member bucket emits 1M-1 edges, not 5*10^11."""
+        ``n_hubs`` smallest ids — instead of all pairs.  O(n_hubs * m) edges
+        keep the connected component intact whenever at least one hub
+        verifies against each member (exact for true-duplicate blobs, where
+        every edge verifies); a pair whose similarity routes only through a
+        non-hub member can still be missed — that recall loss is the price
+        of bounding a 1M-member bucket at ~2M edges instead of 5*10^11."""
         ids = sorted(set(group.column("doc_id").to_pylist()))
         a, b = [], []
         if max_bucket_size is not None and len(ids) > max_bucket_size:
-            hub = ids[0]
-            a = [hub] * (len(ids) - 1)
-            b = ids[1:]
+            for h in range(min(n_hubs, len(ids) - 1)):
+                hub = ids[h]
+                a.extend([hub] * (len(ids) - h - 1))
+                b.extend(ids[h + 1 :])
         else:
             for i in range(len(ids) - 1):
                 for j in range(i + 1, len(ids)):
@@ -204,11 +212,15 @@ def _bucket_pairs_capped(max_bucket_size: int | None):
     return _bucket_pairs
 
 
-def minhash_candidate_pairs(ds, max_bucket_size: int | None = DEFAULT_MAX_BUCKET):
+def minhash_candidate_pairs(
+    ds,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    n_hubs: int = DEFAULT_N_HUBS,
+):
     """documents -> distinct candidate near-dup pairs via banded LSH."""
     banded = ds.map_batches(_minhash_batch, batch_format="pyarrow")
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs_capped(max_bucket_size), batch_format="pyarrow"
+        _bucket_pairs_capped(max_bucket_size, n_hubs), batch_format="pyarrow"
     )
     return pairs.groupby(["id_a", "id_b"]).count()
 
@@ -295,15 +307,19 @@ def _compact(ds):
     return ray.data.from_arrow_refs(refs)
 
 
-def connected_components_min_label(edges_ds, num_partitions: int | None = None):
+def connected_components_min_label(
+    edges_ds, num_partitions: int | None = None, stats: dict | None = None
+):
     """Connected components of an (id_a, id_b) edge dataset via iterative
-    min-label propagation — every step is a dataset join/groupby; the
-    driver holds only a per-iteration changed-row count.
+    min-label propagation with POINTER JUMPING — every step is a dataset
+    join/groupby; the driver holds only a per-iteration changed-row count.
 
     Returns a Dataset of (doc_id, label) where label = min doc id reachable.
-    Iteration count is bounded by the longest path in any component (tiny
-    for near-dup clusters, which are dense); at adversarial-diameter scale
-    add pointer-jumping, which halves path lengths per round."""
+    Each round does (1) one hop of neighbor-min propagation and (2) one
+    shortcut step label <- label(label); the shortcut composes paths, so an
+    adversarial length-L chain (star-capped buckets can produce A~B~C~...)
+    converges in O(log L) rounds instead of O(L).  Pass ``stats`` to get
+    ``stats["rounds"]`` back (pinned by the chain test)."""
     import pyarrow.compute as pc
 
     P = _semi_join_partitions(num_partitions)
@@ -340,7 +356,9 @@ def connected_components_min_label(edges_ds, num_partitions: int | None = None):
     )
     labels = _compact(_rename(labels, {"min(label)": "label"}))
 
+    rounds = 0
     while True:
+        rounds += 1
         # neighbor_min(v) = min label over v's neighbors; new = min(own, that)
         nbr = edges.join(
             _rename(labels, {"doc_id": "src"}),
@@ -356,6 +374,21 @@ def connected_components_min_label(edges_ds, num_partitions: int | None = None):
             .min("label")
         )
         new_labels = _compact(_rename(nbr_min, {"min(label)": "label"}))
+
+        # pointer jump: label <- label(label).  Every label is itself a node
+        # id (a min over node ids), so the self-join is total; the jump
+        # composes two hops into one and halves remaining path lengths.
+        jumped = new_labels.join(
+            _rename(new_labels, {"doc_id": "label", "label": "label2"}),
+            join_type="inner",
+            num_partitions=P,
+            on=("label",),
+        )
+        new_labels = _compact(
+            _rename(
+                jumped.select_columns(["doc_id", "label2"]), {"label2": "label"}
+            )
+        )
 
         joined = new_labels.join(
             _rename(labels, {"label": "old_label"}),
@@ -379,7 +412,22 @@ def connected_components_min_label(edges_ds, num_partitions: int | None = None):
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels
+
+
+def _empty_labels():
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+            }
+        )
+    )
 
 
 def minhash_dedup(
@@ -387,18 +435,29 @@ def minhash_dedup(
     threshold: float = 0.8,
     num_partitions: int | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    n_hubs: int = DEFAULT_N_HUBS,
 ):
     """Full near-dup pass: LSH candidates -> exact Jaccard verification ->
-    min-label connected components -> (doc_id, cluster_rep) for every
-    clustered document.
+    min-label connected components.  Returns a DATASET of (doc_id, label)
+    for every clustered document, label = the cluster's min doc id (every
+    component has >= 2 members by construction).  Use ``minhash_keep`` for
+    the filter form.
 
     Scale shape: a dataset job end-to-end.  Candidate docs' shingle sets
     are joined onto the pair list (hash joins on int64 ids — text never
     crosses an exchange), exact Jaccard runs vectorized inside
-    MapBatches(VerifyJaccard), and clustering is iterative min-label
-    propagation over the verified edge list.  The driver holds only the
-    final clustered rows (O(duplicates found)) and per-iteration
-    convergence counters."""
+    MapBatches(VerifyJaccard), clustering is min-label propagation with
+    pointer jumping over the verified edge list, and the cluster assignment
+    comes back as a Dataset — the driver holds only per-iteration
+    convergence counters, never the clustered rows (30% of a crawl can be
+    duplicates; a driver-side list would OOM).
+
+    Semantics note: EMPTY / whitespace-only documents are excluded from
+    near-dup clustering entirely (the banding stage skips them — all empty
+    docs share one degenerate signature and would pool into a single
+    quadratic bucket).  Empty docs are byte-identical to each other, so run
+    ``exact_dedup`` / ``exact_dedup_keep`` for them; a composed pipeline
+    should do exact dedup first anyway."""
     def _pair_cols(b: pa.Table) -> pa.Table:
         return b.select(["id_a", "id_b"])
 
@@ -419,12 +478,12 @@ def minhash_dedup(
     # plan — without this, lazy lineage re-runs the whole LSH pipeline once
     # per consumer and chains every join into one oversubscribed plan.
     pairs = _compact(
-        minhash_candidate_pairs(ds, max_bucket_size).map_batches(
+        minhash_candidate_pairs(ds, max_bucket_size, n_hubs).map_batches(
             _pair_cols, batch_format="pyarrow"
         )
     )
     if pairs.count() == 0:
-        return []
+        return _empty_labels()
     # shingle sets for candidate docs only: distinct candidate ids
     # semi-join the documents, then shingle that (small) subset
     need_ids = (
@@ -461,12 +520,63 @@ def minhash_dedup(
         )
     )
     if verified.count() == 0:
-        return []
+        return _empty_labels()
 
-    labels = connected_components_min_label(verified, num_partitions)
     # cluster size > 1 by construction: every labeled node has >= 1 verified
     # edge, so each component here has >= 2 members
-    return sorted((r["doc_id"], r["label"]) for r in labels.take_all())
+    return connected_components_min_label(verified, num_partitions)
+
+
+def minhash_keep(
+    ds,
+    threshold: float = 0.8,
+    num_partitions: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    n_hubs: int = DEFAULT_N_HUBS,
+):
+    """Filter form of near-dup removal: the documents dataset with
+    near-duplicates dropped — each cluster keeps its min-id representative;
+    unclustered documents pass through untouched.
+
+    Scale shape: the loser set (doc_id != label) is tiny relative to the
+    corpus only when duplication is low, so it is NOT broadcast — the drop
+    filter is a hash-partitioned LEFT OUTER join on int64 doc ids (the
+    anti-join Ray Data lacks), mirroring ``exact_dedup_keep``'s semi-join.
+    Document text crosses the exchange exactly once; nothing is collected
+    to the driver."""
+    import pyarrow.compute as pc
+
+    labels = minhash_dedup(ds, threshold, num_partitions, max_bucket_size, n_hubs)
+
+    def _losers(batch: pa.Table) -> pa.Table:
+        drop = batch.filter(
+            pc.not_equal(batch.column("doc_id"), batch.column("label"))
+        )
+        return pa.table(
+            {
+                "doc_id": drop.column("doc_id"),
+                "_drop": pa.array([1] * len(drop), pa.int8()),
+            }
+        )
+
+    drop_ids = _compact(labels.map_batches(_losers, batch_format="pyarrow"))
+    if drop_ids.count() == 0:
+        return ds
+    joined = ds.join(
+        drop_ids,
+        join_type="left_outer",
+        num_partitions=_semi_join_partitions(num_partitions),
+        on=("doc_id",),
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        if "_drop" not in batch.column_names:
+            return batch  # schema-less empty block from an empty partition
+        return batch.filter(pc.is_null(batch.column("_drop"))).drop_columns(
+            ["_drop"]
+        )
+
+    return joined.map_batches(_keep, batch_format="pyarrow")
 
 
 # -- n-gram Jaccard ----------------------------------------------------------
@@ -479,8 +589,11 @@ def _word_ngrams(text: str, n: int) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+DEFAULT_DF_CAP = 10_000
+
+
 def ngram_jaccard_pairs(
-    ds, n: int = 3, threshold_milli: int = 500, df_cap: int | None = None
+    ds, n: int = 3, threshold_milli: int = 500, df_cap: int | None = DEFAULT_DF_CAP
 ):
     """All-pairs word n-gram Jaccard similarity >= threshold via an
     inverted shingle index — no O(corpus^2) comparisons.
@@ -496,8 +609,10 @@ def ngram_jaccard_pairs(
     ``df_cap`` drops shingles with document frequency > cap (the group is
     skipped before pair enumeration, bounding any one group at cap^2).
     Capped runs slightly under-count |A∩B| for pairs sharing a stop-shingle,
-    so jaccard_milli is a lower bound there; the default ``None`` keeps
-    exact semantics to stay oracle-comparable."""
+    so jaccard_milli is a lower bound there.  The cap is ON by default
+    (production must never ship the unguarded m^2 hazard); pass
+    ``df_cap=None`` for exact, oracle-comparable semantics on bounded
+    inputs (the driver's oracle query does)."""
     from ray.data.aggregate import Count, Min
 
     def _shingle_rows(batch: pa.Table) -> pa.Table:
@@ -587,19 +702,37 @@ def ngram_jaccard_pairs(
 # -- embedding cosine near-dup ----------------------------------------------
 
 
-def embedding_near_dup(ds, threshold: float = 0.9):
+DEFAULT_EMB_EXACT_MAX_ROWS = 200_000
+
+
+def embedding_near_dup(
+    ds, threshold: float = 0.9, max_rows: int = DEFAULT_EMB_EXACT_MAX_ROWS
+):
     """Exact all-pairs cosine near-duplicates over an embedding column.
 
     The full (n x dim) matrix is broadcast ONCE via ray.put; each batch
     computes its rows' similarities against the broadcast matrix (numpy
     matmul) and emits only pairs (id_a < id_b) with sim >= threshold —
     O(n^2 / batches) work per task, O(matches) output.  This is the exact
-    baseline; at corpus scale swap the broadcast for LSH bucketing
-    (`embedding_near_dup_lsh`) with the same output schema."""
+    BASELINE and deliberately materializes the whole embedding table on
+    the driver: ``max_rows`` (default 200k ≈ 600 MB at dim=384 float64)
+    hard-fails past that instead of OOMing — at corpus scale use
+    ``embedding_near_dup_lsh`` (same output schema, LSH-bucketed, no
+    driver matrix)."""
     import ray
 
     mat_tbl = None
+    n_rows = 0
     for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_rows += len(b)
+        if n_rows > max_rows:
+            raise ValueError(
+                f"embedding_near_dup is the exact driver-side baseline and "
+                f"is capped at max_rows={max_rows} embeddings; this dataset "
+                f"exceeds it.  Use embedding_near_dup_lsh (same output "
+                f"schema) for corpus-scale near-dup, or raise max_rows "
+                f"explicitly if the matrix truly fits in driver memory."
+            )
         mat_tbl = b if mat_tbl is None else pa.concat_tables([mat_tbl, b])
     ids = mat_tbl.column("vec_id").to_numpy()
     col = mat_tbl.column("embedding")
@@ -791,10 +924,30 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_near_pairs(ds, max_hamming: int = 3):
+def _popcount64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (one C-level unpackbits pass)."""
+    return np.unpackbits(arr.view(np.uint8).reshape(len(arr), 8), axis=1).sum(
+        axis=1, dtype=np.int64
+    )
+
+
+def simhash_near_pairs(
+    ds,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    n_hubs: int = DEFAULT_N_HUBS,
+):
     """Blocked simhash near-dup pairs: split the 64-bit hash into 4 16-bit
     blocks; any pair within hamming<=3 shares at least one block (pigeonhole).
-    Groupby per block -> candidate pairs -> exact hamming verify."""
+    Groupby per block -> candidate pairs -> exact hamming verify.
+
+    Skew guard: a (block, key) bucket larger than ``max_bucket_size`` (a
+    mass-duplicated boilerplate blob pools its whole cluster into one
+    bucket) emits STAR pairs — each member verified against the bucket's
+    ``n_hubs`` min-id hubs with a vectorized XOR+popcount — instead of the
+    m^2 all-pairs loop.  Exact for identical blobs (hamming 0 to the hub);
+    pairs connected only through a non-hub member can be missed, same
+    tradeoff as MinHash's ``_bucket_pairs_capped``."""
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def _blocks(batch: pa.Table) -> pa.Table:
@@ -818,16 +971,32 @@ def simhash_near_pairs(ds, max_hamming: int = 3):
 
     def _pairs(group: pa.Table) -> pa.Table:
         rows = sorted(
-            zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())
+            set(
+                zip(
+                    group.column("doc_id").to_pylist(),
+                    group.column("simhash").to_pylist(),
+                )
+            )
         )
         a, b, d = [], [], []
-        for i in range(len(rows) - 1):
-            for j in range(i + 1, len(rows)):
-                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if ham <= max_hamming and rows[i][0] != rows[j][0]:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
+        if max_bucket_size is not None and len(rows) > max_bucket_size:
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            hs = np.array([r[1] for r in rows], dtype=np.uint64)
+            for h in range(min(n_hubs, len(rows) - 1)):
+                hub_id, hub_hash = rows[h]
+                ham = _popcount64(hs[h + 1 :] ^ np.uint64(hub_hash))
+                ok = np.nonzero(ham <= max_hamming)[0]
+                a.extend([hub_id] * len(ok))
+                b.extend(ids[h + 1 :][ok].tolist())
+                d.extend(ham[ok].tolist())
+        else:
+            for i in range(len(rows) - 1):
+                for j in range(i + 1, len(rows)):
+                    ham = bin(rows[i][1] ^ rows[j][1]).count("1")
+                    if ham <= max_hamming and rows[i][0] != rows[j][0]:
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        d.append(ham)
         return pa.table(
             {
                 "id_a": pa.array(a, pa.int64()),

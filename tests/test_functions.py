@@ -125,12 +125,11 @@ def test_minhash_dedup_ray(ray_session):
     base = "the quick brown fox jumps over the lazy dog " * 30
     texts = [base, base.replace("lazy", "sleepy"), "unrelated " * 50, base]
     ds = ray.data.from_arrow(_docs_table(texts))
-    clusters = dedup.minhash_dedup(ds, threshold=0.65)
-    members = {d for d, _ in clusters}
-    assert {0, 1, 3} <= members
-    assert 2 not in members
-    reps = {r for _, r in clusters}
-    assert reps == {0}
+    labels = dedup.minhash_dedup(ds, threshold=0.65)
+    clusters = {r["doc_id"]: r["label"] for r in labels.take_all()}
+    assert {0, 1, 3} <= set(clusters)
+    assert 2 not in clusters
+    assert set(clusters.values()) == {0}
 
 
 def test_minhash_empty_docs_no_blowup(ray_session):
@@ -146,22 +145,87 @@ def test_minhash_empty_docs_no_blowup(ray_session):
     t0 = time.time()
     assert dedup.minhash_candidate_pairs(ds).count() == 0
     assert time.time() - t0 < 60  # all-pairs would be ~50M rows x 16 bands
-    assert dedup.minhash_dedup(ds) == []
+    assert dedup.minhash_dedup(ds).count() == 0
 
 
 def test_minhash_bucket_cap_star_pairs(ray_session):
-    """A bucket over max_bucket_size emits O(m) star pairs to the bucket's
-    min id instead of O(m^2) all-pairs; clustering output is unchanged for
-    true-duplicate blobs because the component stays connected via the hub."""
+    """A bucket over max_bucket_size emits O(n_hubs * m) star pairs to the
+    bucket's smallest ids instead of O(m^2) all-pairs; clustering output is
+    unchanged for true-duplicate blobs because the component stays connected
+    via each hub."""
     import ray
 
     base = "the quick brown fox jumps over the lazy dog " * 30
     ds = ray.data.from_arrow(_docs_table([base] * 40))
     pairs = dedup.minhash_candidate_pairs(ds, max_bucket_size=10).take_all()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
-    assert got == {(0, i) for i in range(1, 40)}
-    clusters = dedup.minhash_dedup(ds, threshold=0.8, max_bucket_size=10)
+    want = {(0, i) for i in range(1, 40)} | {(1, i) for i in range(2, 40)}
+    assert got == want  # two hubs by default (DEFAULT_N_HUBS)
+    labels = dedup.minhash_dedup(ds, threshold=0.8, max_bucket_size=10)
+    clusters = sorted((r["doc_id"], r["label"]) for r in labels.take_all())
     assert clusters == [(i, 0) for i in range(40)]
+
+
+def test_minhash_keep_filters(ray_session):
+    """Filter form: near-duplicates drop, the min-id representative and all
+    unclustered docs survive with their original columns."""
+    import ray
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    texts = [base, base.replace("lazy", "sleepy"), "unrelated " * 50, base]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    out = dedup.minhash_keep(ds, threshold=0.65).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2]
+    assert {r["text"] for r in out} == {base, "unrelated " * 50}
+
+
+def test_minhash_dedup_and_keep_are_datasets(ray_session):
+    """Scale guard (VERDICT r2 item 1): the cluster assignment comes back as
+    a Dataset, and minhash_keep's drop filter is a hash-partitioned join in
+    one lazy plan — no driver-side winner list."""
+    import ray
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    ds = ray.data.from_arrow(_docs_table([base, base, "unrelated " * 50]))
+    labels = dedup.minhash_dedup(ds, threshold=0.65)
+    assert isinstance(labels, ray.data.Dataset)
+    out = dedup.minhash_keep(ds, threshold=0.65)
+    assert isinstance(out, ray.data.Dataset)
+    names = []
+
+    def walk(op):
+        names.append(type(op).__name__)
+        for dep in op.input_dependencies:
+            walk(dep)
+
+    walk(out._logical_plan.dag)
+    # the anti-join of drop-ids against documents is IN the plan: the
+    # documents dataset is filtered by a Join, not by a collected id list
+    assert "Join" in names
+
+
+def test_connected_components_pointer_jumping_chain(ray_session):
+    """Adversarial-diameter guard (VERDICT r2 item 7): a 1k-long path graph
+    converges in O(log n) rounds via pointer jumping, not O(n)."""
+    import math
+
+    import ray
+
+    n = 1000
+    tbl = pa.table(
+        {
+            "id_a": pa.array(range(n - 1), pa.int64()),
+            "id_b": pa.array(range(1, n), pa.int64()),
+        }
+    )
+    stats: dict = {}
+    labels = dedup.connected_components_min_label(
+        ray.data.from_arrow(tbl), num_partitions=4, stats=stats
+    )
+    got = {r["doc_id"]: r["label"] for r in labels.take_all()}
+    assert got == {i: 0 for i in range(n)}
+    # propagation hop + pointer jump more than doubles reach per round
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 4
 
 
 def test_connected_components_matches_union_find(ray_session):
@@ -365,6 +429,66 @@ def test_embedding_near_dup_exact(ray_session):
     # LSH path finds the same planted pair (same-bucket by construction)
     lsh = dedup.embedding_near_dup_lsh(ds, threshold=0.99).take_all()
     assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 7)}
+
+
+def test_embedding_near_dup_max_rows_cap(ray_session):
+    """The exact baseline hard-fails past max_rows instead of silently
+    materializing an unbounded matrix on the driver (VERDICT r2 item 3)."""
+    import pytest
+    import ray
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((30, 8)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        dedup.embedding_near_dup(ds, threshold=0.9, max_rows=10)
+
+
+def test_ngram_jaccard_default_cap_bounds_stop_shingles(ray_session):
+    """The production default df_cap is ON: a corpus where every doc shares
+    one stop-shingle can't go m^2 through that group — its pairs come only
+    from below-cap shingles (VERDICT r2 item 4)."""
+    import ray
+
+    import fuzi_rd.functions.dedup as d
+
+    assert d.DEFAULT_DF_CAP is not None
+    # 30 docs all containing the same stop phrase; otherwise disjoint
+    stop = "click here to subscribe"
+    texts = [f"{stop} unique{i} token{i} word{i} extra{i}" for i in range(30)]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    rows = dedup.ngram_jaccard_pairs(ds, n=3, threshold_milli=1, df_cap=5).take_all()
+    # the stop-shingle group (df=30 > 5) is skipped; no other shingle is
+    # shared, so the capped run emits zero pairs instead of 435
+    assert rows == []
+
+
+def test_simhash_bucket_cap_star_pairs(ray_session):
+    """Mass-duplicated blobs pool their whole cluster into one (block, key)
+    bucket; the star cap bounds that bucket at O(n_hubs * m) verified pairs
+    instead of m^2 (VERDICT r2 item 5)."""
+    import time
+
+    import ray
+
+    n = 10_000
+    tbl = _docs_table(["identical boilerplate page body " * 20] * n)
+    ds = ray.data.from_arrow(tbl)
+    t0 = time.time()
+    pairs = dedup.simhash_near_pairs(ds, max_hamming=3, max_bucket_size=64)
+    rows = pairs.take_all()
+    assert time.time() - t0 < 120  # all-pairs would be ~5*10^7 per block
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    # two hubs: every member connects to doc 0 and doc 1; hamming all 0
+    want = {(0, i) for i in range(1, n)} | {(1, i) for i in range(2, n)}
+    assert got == want
+    assert all(r["min(hamming)"] == 0 for r in rows)
 
 
 def test_broadcast_join(ray_session):
