@@ -815,6 +815,29 @@ def _q_corpus_pipeline(sf_dir: str):
     )
 
 
+def _q_corpus_job(sf_dir: str):
+    """The job form of the corpus pipeline (run_corpus): extract -> clean ->
+    shared-storage checkpoint under the output dir -> global exact dedup ->
+    partitioned write with per-part lineage manifests; the returned dataset
+    is the READ-BACK of the written partitions (exercises the full
+    write/manifest/read path the resumable 100 TB job uses)."""
+    import pathlib
+    import shutil
+
+    import ray
+
+    from fuzi_rd.pipelines.corpus import run_corpus
+
+    pages = _pages_dir_for(sf_dir)
+    tier = pathlib.Path(sf_dir).name or "sf"
+    out = f"/tmp/fuzi_rd_corpus_job_{tier}"
+    shutil.rmtree(out, ignore_errors=True)
+    run_corpus(pages, out, num_parts=32, batch_size=64, resume=False)
+    return ray.data.read_parquet(out).select_columns(
+        ["url", "title", "text_len", "lang_guess", "content_hash"]
+    )
+
+
 def _q_media_decode(sf_dir: str):
     import ray
 
@@ -938,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
         "corpus_pipeline": _q_corpus_pipeline,
+        "corpus_job": _q_corpus_job,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,

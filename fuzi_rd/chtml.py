@@ -9,7 +9,9 @@ tests/test_chtml_equivalence.py (differential over the golden corpus,
 synthesized crawl pages, and the fuzz generator).
 
 The shared object is compiled on first use with the system gcc into a
-source-hash-keyed file under /tmp (atomic rename, concurrent-build safe);
+source-hash-keyed file under a per-user 0700 cache directory (atomic
+rename, concurrent-build safe; dir and file ownership verified before
+CDLL so another local user cannot pre-plant a .so);
 if gcc or the build is unavailable, ``available()`` is False and nothing
 changes — the Python parser remains the authority everywhere (and is
 always used for parity mode, which needs line numbers).
@@ -21,7 +23,9 @@ import ctypes
 import hashlib
 import os
 import pathlib
+import stat
 import subprocess
+import tempfile
 from html import unescape
 
 import numpy as np
@@ -44,10 +48,31 @@ _lib = None
 _tried = False
 
 
+def _cache_dir() -> pathlib.Path:
+    """Per-user 0700 build directory.  A predictable world-writable /tmp
+    path would let another local user pre-plant a malicious .so at the
+    source-hash name and get code execution in every extractor process;
+    the dir is created 0700 and verified (owner, mode, not a symlink)
+    before anything in it is trusted."""
+    base = pathlib.Path(tempfile.gettempdir()) / f"fuzi_rd_chtml_u{os.getuid()}"
+    base.mkdir(mode=0o700, exist_ok=True)
+    st = os.lstat(base)
+    if (
+        not stat.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or (st.st_mode & 0o077)
+    ):
+        raise RuntimeError(
+            f"refusing unsafe chtml cache dir {base}: "
+            f"mode={oct(st.st_mode)} uid={st.st_uid}"
+        )
+    return base
+
+
 def _build_and_load():
     src = _SRC.read_bytes()
     token = hashlib.blake2b(src, digest_size=8).hexdigest()
-    so = pathlib.Path(f"/tmp/fuzi_rd_chtml_{token}.so")
+    so = _cache_dir() / f"fuzi_rd_chtml_{token}.so"
     if not so.exists():
         tmp = so.with_name(so.name + f".tmp{os.getpid()}")
         subprocess.run(
@@ -56,6 +81,9 @@ def _build_and_load():
             capture_output=True,
         )
         tmp.replace(so)  # atomic: concurrent builders all win
+    st = os.lstat(so)
+    if not stat.S_ISREG(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(f"refusing unsafe chtml kernel file {so}")
     lib = ctypes.CDLL(str(so))
     lib.chtml_parse.restype = ctypes.c_int32
     # raw pointers (ints) -- argument marshalling via ndpointer costs ~10 us

@@ -177,6 +177,17 @@ def interval_join(
     import ray
 
     intervals = intervals.sort_by(lo_col).combine_chunks()
+    if len(intervals) == 0:
+        # searchsorted against empty lo/hi would index an empty array in
+        # every batch task; left-join semantics say every row is unmatched
+        def _all_null(batch: pa.Table) -> pa.Table:
+            for c in label_cols:
+                batch = batch.append_column(
+                    c, pa.nulls(len(batch), intervals.schema.field(c).type)
+                )
+            return batch
+
+        return ds.map_batches(_all_null, batch_format="pyarrow")
     ref = ray.put(intervals)
 
     class Bander:

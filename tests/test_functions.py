@@ -616,6 +616,48 @@ def test_interval_join(ray_session):
     assert got == {0: None, 1: "a", 2: "b", 3: "b", 4: None}
 
 
+def test_interval_join_empty_intervals(ray_session):
+    """An empty interval table labels every row null (left-join semantics)
+    instead of raising IndexError inside each batch task (ADVICE r2)."""
+    import ray
+
+    from fuzi_rd.functions.relational import interval_join
+
+    bands = pa.table(
+        {
+            "band": pa.array([], pa.string()),
+            "lo": pa.array([], pa.float64()),
+            "hi": pa.array([], pa.float64()),
+        }
+    )
+    data = pa.table(
+        {
+            "id": pa.array(range(3), pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(data), bands, "v", "lo", "hi", ["band"]
+    ).take_all()
+    assert {r["id"]: r["band"] for r in out} == {0: None, 1: None, 2: None}
+
+
+def test_chtml_cache_dir_is_private():
+    """The C kernel builds into a per-user 0700 dir, never a predictable
+    world-writable /tmp path (ADVICE r2 security finding)."""
+    import os
+    import stat as stat_mod
+
+    from fuzi_rd import chtml
+
+    d = chtml._cache_dir()
+    st = os.lstat(d)
+    assert stat_mod.S_ISDIR(st.st_mode)
+    assert st.st_uid == os.getuid()
+    assert (st.st_mode & 0o077) == 0
+    assert chtml.available()  # build + self-check still succeed there
+
+
 def test_media_resize_plumbing(ray_session):
     import ray
 
