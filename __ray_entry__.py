@@ -367,6 +367,17 @@ def _q_doc_pii_counts(sf_dir: str):
     )
 
 
+def _q_pii_scrub(sf_dir: str):
+    """Email/URL redaction per document — two vectorized regexp_replace
+    kernels (the scrub pass a production pipeline runs after the cheap
+    pii-count pre-filter)."""
+    from fuzi_rd.functions.textstats import pii_scrub_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        pii_scrub_batch, batch_format="pyarrow"
+    )
+
+
 def _q_doc_chunks(sf_dir: str):
     """Token-window chunking (size 128, disjoint) — the LLM-pipeline
     pre-tokenization step as a streaming row-expanding map_batches."""
@@ -939,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
+        "pii_scrub": _q_pii_scrub,
         "source_rollup": _q_source_rollup,
         "doc_sample": _q_doc_sample,
         "docs_top_longest": _q_docs_top_longest,
@@ -1110,6 +1122,15 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_emails,
                    CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
                        AS BIGINT) AS n_urls
+            FROM documents
+        """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g') AS scrubbed_text
             FROM documents
         """,
         "source_rollup": """

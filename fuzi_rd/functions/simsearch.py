@@ -211,7 +211,12 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, max_hamming: int = 2) -> list[d
             mat = _batch_matrix(batch)
             bits = (mat @ self.planes.T) > 0
             sigs = (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
-            ham = np.vectorize(lambda s: bin(int(s) ^ qsig).count("1"))(sigs)
+            # vectorized popcount: one C-level unpackbits pass over the
+            # xored signatures (np.vectorize here cost O(batch) Python calls)
+            x = (sigs ^ np.int64(qsig)).astype(np.uint64)
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1
+            ).sum(axis=1, dtype=np.int64)
             mask = ham <= max_hamming
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:

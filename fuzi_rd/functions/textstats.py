@@ -10,6 +10,9 @@ Operators:
   fingerprint     md5 of whitespace-normalized lowercased text
   lang_id         n-gram/script heuristic language guess (non-SQL oracle)
   chunk_batch     row-expanding token-window chunker (LLM pre-tokenization)
+  repetition      duplicate word-n-gram fraction (Gopher-style signal)
+  pii_counts      email/URL substring counts (cheap pre-filter)
+  pii_scrub       email/URL redaction via vectorized regexp_replace
 """
 
 from __future__ import annotations
@@ -96,11 +99,28 @@ _SCRIPT_RANGES = (
     ("he", 0x0590, 0x05FF),
 )
 
+# High-volume languages by crawl share; each set favors words DISTINCTIVE
+# for that language (shared Romance/Germanic function words like "de"/"en"
+# appear in at most one set) so the max-hits vote rarely ties.  Close pairs
+# (da/no, es/pt) can still tie on short text — ties break to the earlier
+# entry, deterministically.
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
     "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf"},
     "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
     "es": {"el", "la", "de", "que", "y", "los", "en", "un", "una", "por"},
+    "it": {"il", "che", "di", "non", "per", "sono", "con", "della", "anche"},
+    "pt": {"não", "uma", "para", "com", "você", "mais", "isso", "como", "os"},
+    "nl": {"het", "een", "van", "niet", "dat", "ik", "je", "ook", "maar"},
+    "sv": {"och", "att", "det", "som", "är", "inte", "jag", "med", "har"},
+    "da": {"og", "jeg", "ikke", "til", "hvad", "noget", "kan", "hun", "vil"},
+    "pl": {"nie", "się", "jest", "na", "to", "że", "do", "jak", "ale"},
+    "ro": {"și", "nu", "este", "cu", "la", "un", "pentru", "care", "mai"},
+    "tr": {"bir", "ve", "bu", "için", "ile", "ne", "gibi", "çok", "ama"},
+    "id": {"yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari"},
+    "fi": {"ja", "on", "ei", "että", "oli", "hän", "mutta", "kun", "niin"},
+    "cs": {"je", "se", "na", "to", "že", "jsem", "ale", "tak", "co"},
+    "vi": {"của", "và", "là", "không", "có", "được", "người", "trong", "một"},
 }
 
 
@@ -219,5 +239,26 @@ def pii_counts_batch(batch: pa.Table) -> pa.Table:
             "n_urls": pc.cast(
                 pc.count_substring_regex(text, _URL_RE), pa.int64()
             ),
+        }
+    )
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Redaction pass: replace email-like and URL-like substrings with
+    placeholder tokens — two vectorized ``pc.replace_substring_regex``
+    kernels per batch, no Python loop.  Both patterns are RE2-compatible,
+    so DuckDB's regexp_replace(..., 'g') is an exact oracle.  Emails are
+    scrubbed FIRST so a URL containing an @ query param can't eat an
+    address."""
+    text = batch.column("text")
+    scrubbed = pc.replace_substring_regex(
+        pc.replace_substring_regex(text, _EMAIL_RE, "<EMAIL>"),
+        _URL_RE,
+        "<URL>",
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "scrubbed_text": scrubbed,
         }
     )

@@ -132,8 +132,16 @@ def run_extraction(
     skew_threshold: int | None = None,
     resume: bool = True,
     run_id: str = "run",
+    input_partitioned: bool = False,
 ) -> dict:
     """Full job: read -> extract -> partitioned write -> manifests.
+
+    ``input_partitioned``: set True when the input is laid out as
+    ``part=<k>/`` url-hash directories produced by this repo's partitioned
+    writer WITH THE SAME ``num_parts`` (part must be the same pure function
+    of url).  A resumed run then prunes completed partitions at
+    ``read_parquet(paths=...)`` — completed parts' files never leave
+    storage — instead of reading everything and filtering post-read.
 
     Returns the run-level metrics roll-up."""
     import ray
@@ -146,8 +154,19 @@ def run_extraction(
         shutil.rmtree(out_dir)
     _clean_incomplete_parts(out_dir, completed, num_parts)
 
+    read_paths, skip_parts = input_path, completed
+    if input_partitioned and completed:
+        pruned = _prune_input_parts(input_path, completed)
+        if pruned is not None:
+            read_paths, skip_parts = pruned, set()
+            if not read_paths:
+                # every input partition is already complete: nothing to read
+                roll = mf.rollup(out_dir)
+                roll["wall_s"] = time.monotonic() - t0
+                return roll
+
     ds = ray.data.read_parquet(
-        input_path, columns=["url", "html"]
+        read_paths, columns=["url", "html"]
     )
     result = extract_dataset(
         ds,
@@ -156,7 +175,7 @@ def run_extraction(
         batch_size=batch_size,
         num_parts=num_parts,
         skew_threshold=skew_threshold,
-        skip_parts=completed,
+        skip_parts=skip_parts,
     )
 
     # Shuffle-free partitioned write: each writer task splits its batch by
@@ -291,6 +310,36 @@ def _block_writer(out_dir: str):
         )
 
     return write_block
+
+
+def _prune_input_parts(input_path, completed: set[int]) -> list[str] | None:
+    """Directories of input partitions still to process, or None when the
+    input isn't in the ``part=<k>/`` layout (caller falls back to the
+    post-read filter)."""
+    root = Path(input_path)
+    if not root.is_dir():
+        return None
+    part_dirs: dict[int, Path] = {}
+    for d in root.glob("part=*"):
+        try:
+            part_dirs[int(d.name.split("=", 1)[1])] = d
+        except ValueError:
+            return None
+    if not part_dirs:
+        return None
+    # read_parquet accepts a list of FILES, not directories: expand each
+    # missing partition dir (skipping _/. metadata files, as the dataset
+    # reader itself would)
+    files: list[str] = []
+    for k, d in sorted(part_dirs.items()):
+        if k in completed:
+            continue
+        files.extend(
+            str(f)
+            for f in sorted(d.iterdir())
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
+    return files
 
 
 def _clean_incomplete_parts(out_dir: str, completed: set[int], num_parts: int):

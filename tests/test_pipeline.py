@@ -223,6 +223,71 @@ def test_extraction_heuristic_goldens_frozen():
             check(name, html)
 
 
+def test_resume_prunes_input_partitions(ray_session, tmp_path):
+    """VERDICT r2 item 10: with a part=<k> url-hash input layout (our own
+    writer's), a resumed run prunes completed partitions at the READ.
+    Proof: completed parts' input files are corrupted after the first run —
+    an unpruned read would crash; the pruned resume never opens them."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from fuzi_rd.pipelines.extraction import run_extraction
+    from fuzi_rd.sources.pages import pages_table
+    from fuzi_rd.stages.extractor import url_part
+
+    # partitioned input: pages laid out by url-hash part (same num_parts)
+    inp = tmp_path / "pages_parted"
+    tbl = pages_table(N_ROWS)
+    parts = [url_part(u, NUM_PARTS) for u in tbl.column("url").to_pylist()]
+    import pyarrow as pa
+
+    tbl = tbl.append_column("part", pa.array(parts, pa.int32()))
+    for k in sorted(set(parts)):
+        sub = tbl.filter(pa.compute.equal(tbl.column("part"), k))
+        d = inp / f"part={k}"
+        d.mkdir(parents=True)
+        pq.write_table(sub.drop_columns(["part"]), d / "data.parquet")
+
+    out = str(tmp_path / "out")
+    roll = run_extraction(
+        str(inp), out, num_parts=NUM_PARTS, resume=False, batch_size=16,
+        input_partitioned=True,
+    )
+    assert roll["rows"] == N_ROWS
+    want = {
+        r["url"]: r["extracted_text"]
+        for r in ray.data.read_parquet(out).take_all()
+    }
+
+    victims = sorted(mf.completed_parts(out))[:2]
+    for part in victims:
+        (mf.manifest_dir(out) / f"part-{part}.json").unlink()
+        shutil.rmtree(f"{out}/part={part}")
+    # poison every COMPLETED part's input: reading any of them now fails
+    for d in (inp).glob("part=*"):
+        k = int(d.name.split("=", 1)[1])
+        if k not in victims:
+            (d / "data.parquet").write_bytes(b"corrupted, not parquet")
+
+    roll2 = run_extraction(
+        str(inp), out, num_parts=NUM_PARTS, resume=True, batch_size=16,
+        input_partitioned=True,
+    )
+    assert roll2["rows"] == N_ROWS
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in ray.data.read_parquet(out).take_all()
+    }
+    assert got == want
+
+    # fully-complete resume short-circuits without touching the input
+    roll3 = run_extraction(
+        str(inp), out, num_parts=NUM_PARTS, resume=True,
+        input_partitioned=True,
+    )
+    assert roll3["rows"] == N_ROWS
+
+
 def test_corpus_job_resume_byte_identity(ray_session, pages_dir, tmp_path):
     """Corpus-level crash resume (VERDICT r2 item 2): kill checkpoint and
     final partitions mid-run, resume, and require manifests + rows to be
