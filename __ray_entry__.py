@@ -378,6 +378,91 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_stopword_stats(sf_dir: str):
+    """Stopword counts + exact milli ratio per document (Gopher-style
+    fluency signal) — one vectorized regex count, integer arithmetic."""
+    from fuzi_rd.functions.textstats import stopword_stats_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stopword_stats_batch, batch_format="pyarrow"
+    )
+
+
+def _q_url_normalize(sf_dir: str):
+    """URL canonicalization (fragment / utm params / authority case /
+    trailing slash).  The sf tables carry no urls, so both engines build
+    the SAME deterministic url per document (4 case branches covering
+    every normalization rule) and the oracle checks the normalizer's
+    output byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.urltools import normalize_urls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    suffixes = [
+        "?utm_source=feed",
+        "?utm_campaign=x&page=2#section-3",
+        "/?a=1&utm_medium=email&b=2",
+        "/",
+    ]
+
+    def build_and_norm(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        sid = pc.cast(did, pa.string())
+        base = pc.binary_join_element_wise(
+            "HTTPS://WWW.Example.COM/Docs/",
+            batch.column("source"),
+            "/",
+            sid,
+            "",
+        )
+        branch = pc.bit_wise_and(did, 3)  # doc_id % 4
+        suffix = pc.if_else(
+            pc.equal(branch, 0),
+            suffixes[0],
+            pc.if_else(
+                pc.equal(branch, 1),
+                suffixes[1],
+                pc.if_else(pc.equal(branch, 2), suffixes[2], suffixes[3]),
+            ),
+        )
+        url = pc.binary_join_element_wise(base, suffix, "")
+        return pa.table(
+            {"doc_id": did, "url_norm": normalize_urls(url)}
+        )
+
+    return ds.map_batches(build_and_norm, batch_format="pyarrow")
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Sub-document exact dedup (C4-style): the sf docs have no paragraph
+    breaks, so both engines build the SAME two-paragraph corpus — every
+    document prefixed with one of 4 shared boilerplate paragraphs — and
+    dedup keeps each distinct paragraph's first (doc_id, para_idx)
+    occurrence, reassembling survivors in order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.dedup import paragraph_dedup_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        variant = pc.cast(pc.bit_wise_and(did, 3), pa.string())
+        full = pc.binary_join_element_wise(
+            "Shared boilerplate paragraph variant ",
+            variant,
+            "\n\n",
+            batch.column("text"),
+            "",
+        )
+        return pa.table({"doc_id": did, "text": full})
+
+    return paragraph_dedup_keep(ds.map_batches(build, batch_format="pyarrow"))
+
+
 def _q_doc_chunks(sf_dir: str):
     """Token-window chunking (size 128, disjoint) — the LLM-pipeline
     pre-tokenization step as a streaming row-expanding map_batches."""
@@ -951,6 +1036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
         "pii_scrub": _q_pii_scrub,
+        "stopword_stats": _q_stopword_stats,
+        "url_normalize": _q_url_normalize,
+        "paragraph_dedup": _q_paragraph_dedup,
         "source_rollup": _q_source_rollup,
         "doc_sample": _q_doc_sample,
         "docs_top_longest": _q_docs_top_longest,
@@ -1132,6 +1220,72 @@ def oracle_sql() -> dict[str, str]:
                            '<EMAIL>', 'g'),
                        'https?://[^\s]+', '<URL>', 'g') AS scrubbed_text
             FROM documents
+        """,
+        "stopword_stats": r"""
+            WITH s AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|in|is|that|it|for|with|was|on|are|as|be)\b'))
+                  AS BIGINT) AS n_stopwords,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(list_filter(
+                          string_split_regex(trim(text), '\s+'),
+                          x -> x <> '')) END AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_stopwords, n_tokens,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (1000 * n_stopwords) // n_tokens END
+                        AS BIGINT) AS stopword_milli
+            FROM s
+        """,
+        "paragraph_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     'Shared boilerplate paragraph variant '
+                       || CAST(doc_id % 4 AS VARCHAR) AS p0,
+                     text AS p1
+              FROM documents),
+            p AS (
+              SELECT doc_id, 0 AS para_idx, p0 AS para FROM d
+              UNION ALL
+              SELECT doc_id, 1 AS para_idx, p1 AS para FROM d),
+            w AS (
+              SELECT doc_id, para_idx, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, para_idx) AS rn
+              FROM p)
+            SELECT doc_id,
+                   string_agg(para, chr(10)||chr(10) ORDER BY para_idx) AS text
+            FROM w WHERE rn = 1 GROUP BY doc_id
+        """,
+        "url_normalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                'HTTPS://WWW.Example.COM/Docs/' || source || '/'
+                  || CAST(doc_id AS VARCHAR)
+                  || CASE doc_id % 4
+                       WHEN 0 THEN '?utm_source=feed'
+                       WHEN 1 THEN '?utm_campaign=x&page=2#section-3'
+                       WHEN 2 THEN '/?a=1&utm_medium=email&b=2'
+                       ELSE '/' END AS url
+              FROM documents),
+            n1 AS (SELECT doc_id,
+                          regexp_replace(url, '#.*$', '') AS s FROM u),
+            n2 AS (SELECT doc_id,
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(s, '&utm_[^&#]*', '', 'g'),
+                              '\?utm_[^&#]*&', '?'),
+                            '\?utm_[^&#]*$', '') AS s FROM n1),
+            n3 AS (SELECT doc_id,
+                          CASE WHEN regexp_matches(s,
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://')
+                          THEN lower(regexp_extract(s,
+                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                               || regexp_replace(s,
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+                          ELSE s END AS s FROM n2)
+            SELECT doc_id, regexp_replace(s, '/+$', '') AS url_norm FROM n3
         """,
         "source_rollup": """
             SELECT source, count(*) AS n_docs,

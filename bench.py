@@ -140,6 +140,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "doc_quality",
         "doc_chunks",
         "dedup_exact",
+        "pii_scrub",
+        "paragraph_dedup",
         "minhash_bands",
         "simhash_pairs",
         "q1_lineitem",
@@ -190,6 +192,35 @@ def main_bench() -> None:
     ray.shutdown()
 
 
+def _per_core_ticks() -> dict[int, tuple[int, int]]:
+    """Per-core (total, idle) jiffies from /proc/stat."""
+    out = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and line[3:4].isdigit():
+                p = line.split()
+                vals = list(map(int, p[1:]))
+                out[int(p[0][3:])] = (sum(vals), vals[3] + vals[4])
+    return out
+
+
+def _offpin_busy_cores(pre, post, pinned: set[int]) -> float:
+    """Average number of busy cores OUTSIDE the pinned set between two
+    /proc/stat samples — during a taskset-pinned leg every off-pin busy
+    core is co-tenant load, the main known contaminator of the measured
+    scaling efficiency (documented in BENCH/BASELINE.md round 2)."""
+    busy = 0.0
+    n = 0
+    for core, (t1, i1) in post.items():
+        if core in pinned or core not in pre:
+            continue
+        t0, i0 = pre[core]
+        if t1 > t0:
+            busy += 1 - (i1 - i0) / (t1 - t0)
+        n += 1
+    return round(busy, 2) if n else 0.0
+
+
 def main_scaling() -> None:
     """Fresh-process runs at 8 and 32 CPUs on identical input; efficiency =
     (docs/s @32) / (4 x docs/s @8).
@@ -210,10 +241,13 @@ def main_scaling() -> None:
     ray.shutdown()
     n_host = os.cpu_count() or 32
     results = {}
+    external = {}
     for cpus in (8, 32):
         cmd = [sys.executable, __file__, "--scaling-child", str(cpus)]
+        pinned = set(range(cpus))
         if shutil.which("taskset") and cpus <= n_host:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        pre = _per_core_ticks()
         proc = subprocess.run(
             cmd,
             capture_output=True,
@@ -221,6 +255,7 @@ def main_scaling() -> None:
             cwd=REPO,
             env={**os.environ, "FUZI_BENCH_PAGES": str(SCALING_PAGE_ROWS)},
         )
+        external[cpus] = _offpin_busy_cores(pre, _per_core_ticks(), pinned)
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
         if proc.returncode != 0:
@@ -235,6 +270,9 @@ def main_scaling() -> None:
         "docs_per_sec_32": round(results[32]["docs_per_sec"], 1),
         "wall_s_8": round(results[8]["wall_s"], 2),
         "wall_s_32": round(results[32]["wall_s"], 2),
+        # co-tenant evidence: busy cores OUTSIDE each leg's pin set (for the
+        # 32-leg the pin set is the whole host, so 0.0 by construction)
+        "offpin_busy_cores_8leg": external[8],
         "n_pages": SCALING_PAGE_ROWS,
     }
     print(json.dumps(out))
@@ -251,7 +289,9 @@ def _record_scaling(out: dict) -> None:
         f"| 8 | {out['wall_s_8']} | {out['docs_per_sec_8']} |\n",
         f"| 32 | {out['wall_s_32']} | {out['docs_per_sec_32']} |\n",
         f"\nEfficiency (docs/s@32) / (4 x docs/s@8) = **{out['value']}**"
-        f" (target >= 0.8) over {out['n_pages']} identical synthesized pages.\n",
+        f" (target >= 0.8) over {out['n_pages']} identical synthesized pages."
+        f" Co-tenant load during the 8-leg (busy cores outside the pin set):"
+        f" {out.get('offpin_busy_cores_8leg', 'n/a')}.\n",
     ]
     if not bench_md.exists():
         lines.insert(

@@ -100,6 +100,91 @@ def exact_dedup_keep(ds, num_partitions: int | None = None):
     return semi_join(ds, keep_ids, "doc_id", num_partitions)
 
 
+# -- paragraph-level exact dedup ---------------------------------------------
+
+# packed occurrence key: (doc_id, para_idx) as one int64 so the winner scan
+# is a plain Min aggregate.  2^20 paragraphs per doc, 2^43 docs.
+_PARA_SHIFT = 20
+
+
+def paragraph_dedup_keep(ds, sep: str = "\n\n", num_partitions: int | None = None):
+    """Sub-document exact dedup (C4/RefinedWeb-style): split each document
+    into paragraphs, keep only the FIRST occurrence of every distinct
+    paragraph corpus-wide (smallest (doc_id, para_idx)), and reassemble the
+    surviving paragraphs per document in original order.
+
+    Returns a Dataset of (doc_id, text); a document whose every paragraph
+    was seen earlier is absent from the output entirely.  Repeated
+    paragraphs WITHIN one document also dedup (first occurrence wins).
+
+    Scale shape: three exchanges, none driver-side — (1) the winner scan
+    shuffles (16-byte md5, packed int64) pairs only; (2) paragraph text
+    crosses one hash join keyed on the digest; (3) reassembly shuffles the
+    SURVIVING text once, keyed by doc_id.  Boilerplate-heavy crawls shrink
+    between (2) and (3) — duplicates are dropped before the reassembly
+    exchange."""
+    import pyarrow.compute as pc
+
+    def _paras(batch: pa.Table) -> pa.Table:
+        ids, idxs, hashes, paras = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for i, p in enumerate((text or "").split(sep)):
+                ids.append(doc_id)
+                idxs.append(i)
+                hashes.append(hashlib.md5(p.encode("utf-8")).hexdigest())
+                paras.append(p)
+        packed = [
+            (d << _PARA_SHIFT) | i for d, i in zip(ids, idxs)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "para_idx": pa.array(idxs, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+                "para_hash": pa.array(hashes, pa.string()),
+                "para": pa.array(paras, pa.string()),
+            }
+        )
+
+    P = _semi_join_partitions(num_partitions)
+    paras = ds.map_batches(_paras, batch_format="pyarrow")
+
+    def _key_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(["para_hash", "packed"])
+
+    winners = _compact(
+        paras.map_batches(_key_cols, batch_format="pyarrow")
+        .groupby("para_hash")
+        .min("packed")
+    )
+    joined = paras.join(
+        winners, join_type="inner", num_partitions=P, on=("para_hash",)
+    )
+
+    def _survivors(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.equal(batch.column("packed"), batch.column("min(packed)"))
+        )
+        return keep.select(["doc_id", "para_idx", "para"])
+
+    kept = joined.map_batches(_survivors, batch_format="pyarrow")
+
+    def _reassemble(group: pa.Table) -> pa.Table:
+        group = group.sort_by("para_idx")
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "text": pa.array(
+                    [sep.join(group.column("para").to_pylist())], pa.string()
+                ),
+            }
+        )
+
+    return kept.groupby("doc_id").map_groups(_reassemble, batch_format="pyarrow")
+
+
 # -- MinHash -----------------------------------------------------------------
 
 

@@ -243,6 +243,43 @@ def pii_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# the C4/Gopher-style stopword signal: real prose contains function words;
+# keyword-stuffed or templated spam doesn't.  Word-boundary alternation so
+# one vectorized regex scan counts all hits (RE2-compatible -> DuckDB
+# regexp_extract_all is an exact oracle).
+_STOP_SIGNAL_RE = r"\b(the|and|of|to|in|is|that|it|for|with|was|on|are|as|be)\b"
+
+
+def stopword_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document stopword counts + exact milli ratio
+    (floor(1000 * n_stopwords / n_tokens); 0 for empty docs) — a
+    quality/fluency signal (Gopher rule: too few stopwords => not prose).
+    One vectorized regex count over lowercased text; integer arithmetic."""
+    text = batch.column("text")
+    lower = pc.utf8_lower(text)
+    n_stop = pc.cast(pc.count_substring_regex(lower, _STOP_SIGNAL_RE), pa.int64())
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_tokens = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()
+    )
+    n_tokens = pc.if_else(
+        pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int64()), n_tokens
+    )
+    ratio = pc.if_else(
+        pc.equal(n_tokens, 0),
+        pa.scalar(0, pa.int64()),
+        pc.divide(pc.multiply(n_stop, 1000), pc.max_element_wise(n_tokens, 1)),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_stopwords": n_stop,
+            "n_tokens": n_tokens,
+            "stopword_milli": ratio,
+        }
+    )
+
+
 def pii_scrub_batch(batch: pa.Table) -> pa.Table:
     """Redaction pass: replace email-like and URL-like substrings with
     placeholder tokens — two vectorized ``pc.replace_substring_regex``

@@ -111,6 +111,69 @@ def test_lang_guess_widened_latin_scripts():
         assert textstats.guess_lang(text) == lang, (lang, text)
 
 
+def test_paragraph_dedup_keep(ray_session):
+    """First (doc_id, para_idx) occurrence of each distinct paragraph wins
+    corpus-wide; survivors reassemble in order; fully-duplicated docs are
+    absent from the output."""
+    import ray
+
+    docs = [
+        "boiler\n\nunique a",   # keeps both (first occurrences)
+        "boiler\n\nunique b",   # boiler dropped
+        "unique a\n\nboiler",   # both paragraphs seen earlier -> absent
+    ]
+    out = dedup.paragraph_dedup_keep(
+        ray.data.from_arrow(_docs_table(docs))
+    ).take_all()
+    got = {r["doc_id"]: r["text"] for r in out}
+    assert got == {0: "boiler\n\nunique a", 1: "unique b"}
+
+
+def test_stopword_stats_batch():
+    """Stopword signal: vectorized word-boundary count + exact milli ratio
+    (oracle-checked too)."""
+    t = textstats.stopword_stats_batch(
+        _docs_table(
+            [
+                "the cat and the dog sat on it",   # 5 stopwords / 8 tokens
+                "buy cheap pills now click here",  # 0 / 6
+                "",                                 # 0 / 0
+            ]
+        )
+    )
+    assert t.column("n_stopwords").to_pylist() == [5, 0, 0]
+    assert t.column("n_tokens").to_pylist() == [8, 6, 0]
+    assert t.column("stopword_milli").to_pylist() == [625, 0, 0]
+
+
+def test_url_normalize():
+    """Each canonicalization rule: fragment, utm variants, authority
+    lowercasing (path case preserved), trailing slash, relative
+    passthrough."""
+    from fuzi_rd.functions.urltools import normalize_urls
+
+    got = normalize_urls(
+        pa.array(
+            [
+                "HTTPS://WWW.Example.COM/Docs/A?utm_source=feed",
+                "https://x.io/p?utm_campaign=c&page=2#sec",
+                "http://a.b/Path/?a=1&utm_medium=email&b=2",
+                "https://Host.com/Dir/",
+                "relative/Path/#frag",
+                "https://h.com/?utm_a=1&utm_b=2&q=3",
+            ]
+        )
+    ).to_pylist()
+    assert got == [
+        "https://www.example.com/Docs/A",
+        "https://x.io/p?page=2",
+        "http://a.b/Path/?a=1&b=2",
+        "https://host.com/Dir",
+        "relative/Path",
+        "https://h.com/?q=3",
+    ]
+
+
 def test_pii_scrub_batch():
     """Redaction: emails and URLs become placeholder tokens; everything
     else is untouched (vectorized regexp_replace — oracle-checked too)."""

@@ -1,0 +1,95 @@
+"""Host contention probe: how much does ONE core's parse throughput drop
+when 8 vs 32 cores are busy with the identical workload?
+
+The scaling-efficiency criterion compares an 8-cpu and a 32-cpu run of the
+same job on one physical box.  On a real N-node vs 4N-node cluster every
+node keeps its own memory controllers and turbo headroom; on a single box
+the 32-cpu leg's cores share them.  This probe isolates that hardware
+effect from framework scaling: K worker PROCESSES (no Ray), each pinned to
+its own core, each parsing the same synthesized pages in a loop; reported
+is per-process docs/s at K=8 vs K=32.  The ratio is the per-core slowdown
+a perfect scheduler could not avoid — the structural ceiling of the
+single-box proxy, and exactly the term that vanishes on a real cluster.
+
+Usage: python tools/contention_probe.py [seconds_per_leg]
+Prints one JSON line; append the numbers to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _worker(core: int, seconds: float, out_q) -> None:
+    os.sched_setaffinity(0, {core})
+    from fuzi_rd.chtml import available, parse_html_bytes_fast
+    from fuzi_rd.html_parser import parse_html_bytes
+    from fuzi_rd.sources.pages import row_for_seq
+
+    use_c = available()
+    htmls = [row_for_seq(i)[2] for i in range(200)]
+    # warm up allocators/caches outside the timed window
+    for h in htmls[:20]:
+        (parse_html_bytes_fast(h, None) if use_c else None) or parse_html_bytes(h)
+    n = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < seconds:
+        h = htmls[n % len(htmls)]
+        arena = parse_html_bytes_fast(h, None) if use_c else None
+        if arena is None:
+            parse_html_bytes(h)
+        n += 1
+    out_q.put((core, n / (time.monotonic() - t0)))
+
+
+def run_leg(k: int, seconds: float) -> dict:
+    q = mp.Queue()
+    procs = [
+        mp.Process(target=_worker, args=(core, seconds, q)) for core in range(k)
+    ]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    per_proc = sorted(r for _, r in rates)
+    mean = sum(per_proc) / len(per_proc)
+    return {
+        "k": k,
+        "per_proc_docs_s_mean": round(mean, 1),
+        "per_proc_docs_s_min": round(per_proc[0], 1),
+        "per_proc_docs_s_max": round(per_proc[-1], 1),
+        "total_docs_s": round(mean * k, 1),
+    }
+
+
+def main() -> None:
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    legs = {k: run_leg(k, seconds) for k in (8, 32)}
+    factor = (
+        legs[32]["per_proc_docs_s_mean"] / legs[8]["per_proc_docs_s_mean"]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "per-core parse throughput, 8 vs 32 busy cores "
+                "(no Ray; pure hardware contention)",
+                "legs": legs,
+                "per_core_factor_32_vs_8": round(factor, 3),
+                "note": "this factor is the structural ceiling of the "
+                "single-box 8->32 scaling proxy; a real 4N-node cluster "
+                "does not share memory bandwidth across nodes",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
