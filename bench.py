@@ -204,21 +204,147 @@ def _per_core_ticks() -> dict[int, tuple[int, int]]:
     return out
 
 
-def _offpin_busy_cores(pre, post, pinned: set[int]) -> float:
-    """Average number of busy cores OUTSIDE the pinned set between two
-    /proc/stat samples — during a taskset-pinned leg every off-pin busy
-    core is co-tenant load, the main known contaminator of the measured
-    scaling efficiency (documented in BENCH/BASELINE.md round 2)."""
-    busy = 0.0
-    n = 0
-    for core, (t1, i1) in post.items():
-        if core in pinned or core not in pre:
-            continue
-        t0, i0 = pre[core]
-        if t1 > t0:
-            busy += 1 - (i1 - i0) / (t1 - t0)
-        n += 1
-    return round(busy, 2) if n else 0.0
+class _LegMonitor:
+    """Samples, during one pinned benchmark leg, (a) busy jiffies on the
+    PINNED cores and (b) jiffies consumed by the benchmark's own process
+    subtree.  The difference is co-tenant load running on the cores the
+    leg was measured on — the contaminator that the old "busy cores
+    outside the pin set" measure could not see for the 32-leg (whose pin
+    set is the whole host).  The subtree's jiffies all land on the pinned
+    cores (taskset affinity is inherited), so the attribution is exact up
+    to sampling (short-lived descendants that die between samples keep
+    their last-seen count)."""
+
+    def __init__(self, pinned: set[int], interval: float = 1.5):
+        import threading
+
+        self.pinned = pinned
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._root_pid = None
+        self._pid_last: dict[int, int] = {}
+        self._t0 = self._t1 = None
+        self._busy0 = self._busy1 = None
+
+    def _pinned_busy(self) -> int:
+        busy = 0
+        for core, (total, idle) in _per_core_ticks().items():
+            if core in self.pinned:
+                busy += total - idle
+        return busy
+
+    def _sample_subtree(self) -> None:
+        if self._root_pid is None:
+            return
+        procs = {}
+        children = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: parse from the last ')'
+            rest = raw[raw.rfind(")") + 2 :].split()
+            pid = int(entry)
+            ppid = int(rest[1])
+            procs[pid] = (ppid, int(rest[11]) + int(rest[12]))  # utime+stime
+            children.setdefault(ppid, []).append(pid)
+        stack = [self._root_pid]
+        seen = set()
+        while stack:
+            pid = stack.pop()
+            if pid in seen or pid not in procs:
+                continue
+            seen.add(pid)
+            # keep the max ever seen per pid: survives pid exit
+            j = procs[pid][1]
+            if j > self._pid_last.get(pid, -1):
+                self._pid_last[pid] = j
+            stack.extend(children.get(pid, []))
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            self._sample_subtree()
+
+    def start(self, root_pid: int) -> None:
+        self._root_pid = root_pid
+        self._t0 = time.monotonic()
+        self._busy0 = self._pinned_busy()
+        self._thread.start()
+
+    def finish(self) -> dict:
+        self._stop.set()
+        self._thread.join()
+        self._sample_subtree()
+        self._t1 = time.monotonic()
+        self._busy1 = self._pinned_busy()
+        hz = os.sysconf("SC_CLK_TCK")
+        wall = self._t1 - self._t0
+        pinned_busy_cores = (self._busy1 - self._busy0) / hz / wall
+        mine_cores = sum(self._pid_last.values()) / hz / wall
+        cotenant = max(0.0, pinned_busy_cores - mine_cores)
+        return {
+            "wall_s": round(wall, 2),
+            "pinned_busy_cores": round(pinned_busy_cores, 2),
+            "self_busy_cores": round(mine_cores, 2),
+            "cotenant_cores": round(cotenant, 2),
+            "self_util": round(mine_cores / len(self.pinned), 3),
+        }
+
+
+# a leg is "contaminated" when co-tenant processes averaged more than this
+# many cores ON the leg's pinned set; it gets re-run (bounded attempts) and
+# every attempt is recorded
+COTENANT_LIMIT = float(os.environ.get("FUZI_COTENANT_LIMIT", "0.75"))
+LEG_ATTEMPTS = int(os.environ.get("FUZI_LEG_ATTEMPTS", "3"))
+
+
+def _run_leg(cpus: int, n_host: int) -> tuple[dict, dict, list]:
+    """One pinned fresh-process leg with co-tenant gating: up to
+    LEG_ATTEMPTS runs, accept the first whose co-tenant load on the pinned
+    cores is under COTENANT_LIMIT, else keep the cleanest.  Returns
+    (child_result, monitor_stats, attempts_log)."""
+    cmd = [sys.executable, __file__, "--scaling-child", str(cpus)]
+    pinned = set(range(cpus))
+    if shutil.which("taskset") and cpus <= n_host:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    attempts = []
+    for attempt in range(LEG_ATTEMPTS):
+        mon = _LegMonitor(pinned)
+        proc = subprocess.Popen(
+            cmd,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+            env={**os.environ, "FUZI_BENCH_PAGES": str(SCALING_PAGE_ROWS)},
+        )
+        mon.start(proc.pid)
+        stdout, stderr = proc.communicate()
+        stats = mon.finish()
+        if proc.returncode != 0:
+            sys.stderr.write(stderr)
+            sys.exit(1)
+        line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+        result = json.loads(line)
+        attempts.append((result, stats))
+        if stats["cotenant_cores"] <= COTENANT_LIMIT:
+            break
+        sys.stderr.write(
+            f"[scaling] {cpus}-leg attempt {attempt + 1} contaminated "
+            f"(co-tenant {stats['cotenant_cores']} cores on the pin set "
+            f"> {COTENANT_LIMIT}); re-running\n"
+        )
+    best = min(attempts, key=lambda a: a[1]["cotenant_cores"])
+    log = [
+        {"docs_per_sec": round(r["docs_per_sec"], 1), **s}
+        for r, s in attempts
+    ]
+    return best[0], best[1], log
 
 
 def main_scaling() -> None:
@@ -230,7 +356,14 @@ def main_scaling() -> None:
     pinning, the "8-cpu cluster"'s processes spread across all 32 physical
     cores and enjoy 4x the cache and the host's few-core turbo — hardware
     advantages an 8-core cluster node would never have — which deflates the
-    measured efficiency of the real framework scaling."""
+    measured efficiency of the real framework scaling.
+
+    The box is shared: co-tenant processes landing on the pinned cores
+    steal cycles from the leg being measured (the 32-leg, pinned to the
+    whole host, is maximally exposed).  Each leg therefore runs under a
+    _LegMonitor that attributes pinned-core busy jiffies to the leg's own
+    process subtree vs everything else, and a contaminated leg is re-run
+    (every attempt recorded in BENCH/BASELINE.md)."""
     import ray
 
     ray.init(
@@ -241,26 +374,10 @@ def main_scaling() -> None:
     ray.shutdown()
     n_host = os.cpu_count() or 32
     results = {}
-    external = {}
+    monitors = {}
+    logs = {}
     for cpus in (8, 32):
-        cmd = [sys.executable, __file__, "--scaling-child", str(cpus)]
-        pinned = set(range(cpus))
-        if shutil.which("taskset") and cpus <= n_host:
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        pre = _per_core_ticks()
-        proc = subprocess.run(
-            cmd,
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            env={**os.environ, "FUZI_BENCH_PAGES": str(SCALING_PAGE_ROWS)},
-        )
-        external[cpus] = _offpin_busy_cores(pre, _per_core_ticks(), pinned)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr)
-            sys.exit(1)
+        results[cpus], monitors[cpus], logs[cpus] = _run_leg(cpus, n_host)
     eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     out = {
         "metric": "scaling efficiency 8->32 cpus (fresh processes, identical input)",
@@ -270,9 +387,12 @@ def main_scaling() -> None:
         "docs_per_sec_32": round(results[32]["docs_per_sec"], 1),
         "wall_s_8": round(results[8]["wall_s"], 2),
         "wall_s_32": round(results[32]["wall_s"], 2),
-        # co-tenant evidence: busy cores OUTSIDE each leg's pin set (for the
-        # 32-leg the pin set is the whole host, so 0.0 by construction)
-        "offpin_busy_cores_8leg": external[8],
+        "cotenant_cores_8leg": monitors[8]["cotenant_cores"],
+        "cotenant_cores_32leg": monitors[32]["cotenant_cores"],
+        "self_util_8leg": monitors[8]["self_util"],
+        "self_util_32leg": monitors[32]["self_util"],
+        "attempts_8leg": logs[8],
+        "attempts_32leg": logs[32],
         "n_pages": SCALING_PAGE_ROWS,
     }
     print(json.dumps(out))
@@ -285,14 +405,30 @@ def _record_scaling(out: dict) -> None:
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     lines = [
         f"\n## Scaling run {stamp}\n",
-        "| cpus | wall s | docs/s |\n|---|---|---|\n",
-        f"| 8 | {out['wall_s_8']} | {out['docs_per_sec_8']} |\n",
-        f"| 32 | {out['wall_s_32']} | {out['docs_per_sec_32']} |\n",
+        "| cpus | wall s | docs/s | co-tenant cores on pin set | self util |\n"
+        "|---|---|---|---|---|\n",
+        f"| 8 | {out['wall_s_8']} | {out['docs_per_sec_8']} |"
+        f" {out.get('cotenant_cores_8leg', 'n/a')} |"
+        f" {out.get('self_util_8leg', 'n/a')} |\n",
+        f"| 32 | {out['wall_s_32']} | {out['docs_per_sec_32']} |"
+        f" {out.get('cotenant_cores_32leg', 'n/a')} |"
+        f" {out.get('self_util_32leg', 'n/a')} |\n",
         f"\nEfficiency (docs/s@32) / (4 x docs/s@8) = **{out['value']}**"
-        f" (target >= 0.8) over {out['n_pages']} identical synthesized pages."
-        f" Co-tenant load during the 8-leg (busy cores outside the pin set):"
-        f" {out.get('offpin_busy_cores_8leg', 'n/a')}.\n",
+        f" (target >= 0.8) over {out['n_pages']} identical synthesized pages.\n",
     ]
+    for leg in (8, 32):
+        log = out.get(f"attempts_{leg}leg") or []
+        if len(log) > 1:
+            rejected = ", ".join(
+                f"{a['docs_per_sec']} docs/s @ {a['cotenant_cores']} "
+                "co-tenant cores"
+                for a in log
+            )
+            lines.append(
+                f"{leg}-leg ran {len(log)} attempts (co-tenant gate "
+                f"{COTENANT_LIMIT} cores): {rejected}; the cleanest attempt "
+                "is the one recorded above.\n"
+            )
     if not bench_md.exists():
         lines.insert(
             0,
