@@ -1017,6 +1017,25 @@ def _q_pages_css_query(sf_dir: str):
     )
 
 
+def _q_pdf_extract(sf_dir: str):
+    """PDF/layout parse tier: synthesize a deterministic PDF per document
+    (sources/pdfs.py — FlateDecode/hex streams, Td/T*/'/Tm layouts, TJ kern
+    gaps, corrupted xrefs) and extract the text back with the actor-pool
+    PDF stage (stages/pdf_extract.py).  The writer/reader round-trip
+    contract (pdf_text(make_pdf(t, seq)) == t) makes this oracle-checkable:
+    the extracted text must equal documents.text exactly, and n_pages is a
+    closed-form function of the newline count."""
+    from fuzi_rd.sources.pdfs import pdfs_from_documents_batch
+    from fuzi_rd.stages.pdf_extract import extract_pdfs_dataset
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pdfs = ds.map_batches(pdfs_from_documents_batch, batch_format="pyarrow")
+    out = extract_pdfs_dataset(pdfs)
+    return out.select_columns(
+        ["doc_id", "pdf_text", "n_pages", "text_len", "status"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
@@ -1048,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_bands": _q_value_bands,
         "top_orders_per_status": _q_top_orders_per_status,
         "parts_by_brand": _q_parts_by_brand,
+        "pdf_extract": _q_pdf_extract,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
         "minhash_bands": _q_minhash_bands,
@@ -1210,6 +1230,14 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_emails,
                    CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
                        AS BIGINT) AS n_urls
+            FROM documents
+        """,
+        "pdf_extract": r"""
+            SELECT doc_id,
+                   text AS pdf_text,
+                   CAST(floor((length(text) - length(replace(text, chr(10), ''))) / 40) + 1 AS INTEGER) AS n_pages,
+                   CAST(length(text) AS BIGINT) AS text_len,
+                   'ok' AS status
             FROM documents
         """,
         "pii_scrub": r"""

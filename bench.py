@@ -141,6 +141,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "doc_chunks",
         "dedup_exact",
         "pii_scrub",
+        "pdf_extract",
         "paragraph_dedup",
         "minhash_bands",
         "simhash_pairs",
