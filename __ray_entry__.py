@@ -1036,6 +1036,49 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
+def _q_warc_ingest(sf_dir: str):
+    """Crawl-archive ingestion: documents sharded into WARC segment files
+    (sources/warc.py, half per-record-gzip .warc.gz), read back with one
+    Ray read task per segment + in-task record expansion (the Common-Crawl
+    layout at 100 TB: ~1 GB segments ARE the parallelism unit).  The
+    deterministic writer makes the round trip oracle-checkable against
+    documents.text."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.sources.warc import (
+        DOC_URL_PREFIX,
+        read_warc_dataset,
+        write_warc_segments_from_documents,
+    )
+
+    tier = pathlib.Path(sf_dir).name or "sf"
+    seg_dir = write_warc_segments_from_documents(
+        f"{sf_dir}/documents.parquet", f"/tmp/fuzi_rd_warc_{tier}"
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(
+                batch.column("url"), len(DOC_URL_PREFIX), 2**31 - 1
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.cast(batch.column("payload"), pa.large_string()),
+                "n_bytes": pc.binary_length(batch.column("payload")),
+            }
+        )
+
+    return read_warc_dataset(seg_dir).map_batches(
+        to_docs, batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_token_stats": _q_doc_token_stats,
@@ -1068,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_status": _q_top_orders_per_status,
         "parts_by_brand": _q_parts_by_brand,
         "pdf_extract": _q_pdf_extract,
+        "warc_ingest": _q_warc_ingest,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
         "minhash_bands": _q_minhash_bands,
@@ -1238,6 +1282,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((length(text) - length(replace(text, chr(10), ''))) / 40) + 1 AS INTEGER) AS n_pages,
                    CAST(length(text) AS BIGINT) AS text_len,
                    'ok' AS status
+            FROM documents
+        """,
+        "warc_ingest": r"""
+            SELECT doc_id,
+                   text,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
             FROM documents
         """,
         "pii_scrub": r"""

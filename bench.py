@@ -142,6 +142,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "dedup_exact",
         "pii_scrub",
         "pdf_extract",
+        "warc_ingest",
         "paragraph_dedup",
         "minhash_bands",
         "simhash_pairs",
