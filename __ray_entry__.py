@@ -1036,6 +1036,18 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
+def _q_unigram_lm(sf_dir: str):
+    """Corpus-fit unigram LM surprisal per document (CCNet-style quality
+    signal) — two-stage broadcast pattern: partial counts + small groupby
+    fit the model, then the vocabulary ships through the object store ONCE
+    and an actor pool scores batches locally.  Integer milli-nat fixed
+    point keeps the DuckDB oracle exact."""
+    from fuzi_rd.functions.lm_score import unigram_logprob
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def _q_warc_ingest(sf_dir: str):
     """Crawl-archive ingestion: documents sharded into WARC segment files
     (sources/warc.py, half per-record-gzip .warc.gz), read back with one
@@ -1112,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": _q_parts_by_brand,
         "pdf_extract": _q_pdf_extract,
         "warc_ingest": _q_warc_ingest,
+        "unigram_lm": _q_unigram_lm,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
         "minhash_bands": _q_minhash_bands,
@@ -1283,6 +1296,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS text_len,
                    'ok' AS status
             FROM documents
+        """,
+        "unigram_lm": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT sum(c) AS total FROM vocab),
+            scored AS (
+              SELECT t.doc_id,
+                     CAST(floor(-1000 * ln(v.c / tot.total)) AS BIGINT) AS milli
+              FROM tok t, vocab v, tot
+              WHERE t.tok = v.tok
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   sum(milli) AS surprisal_milli,
+                   sum(milli) // count(*) AS mean_surprisal_milli
+            FROM scored
+            GROUP BY doc_id
         """,
         "warc_ingest": r"""
             SELECT doc_id,

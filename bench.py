@@ -143,6 +143,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "pii_scrub",
         "pdf_extract",
         "warc_ingest",
+        "unigram_lm",
         "paragraph_dedup",
         "minhash_bands",
         "simhash_pairs",

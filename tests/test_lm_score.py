@@ -1,0 +1,81 @@
+"""Unigram LM surprisal scorer (functions/lm_score.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray, texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+
+
+def test_unigram_logprob_matches_hand_computation(ray_session):
+    import ray
+
+    from fuzi_rd.functions.lm_score import unigram_logprob
+
+    texts = ["a a b", "b c", "a"]
+    # corpus counts: a=3, b=2, c=1, total=6
+    out = unigram_logprob(_docs_ds(ray, texts)).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    m = {
+        "a": math.floor(-1000 * math.log(3 / 6)),
+        "b": math.floor(-1000 * math.log(2 / 6)),
+        "c": math.floor(-1000 * math.log(1 / 6)),
+    }
+    assert by_id[0]["surprisal_milli"] == 2 * m["a"] + m["b"]
+    assert by_id[0]["n_tokens"] == 3
+    assert by_id[0]["mean_surprisal_milli"] == (2 * m["a"] + m["b"]) // 3
+    assert by_id[1]["surprisal_milli"] == m["b"] + m["c"]
+    assert by_id[2]["surprisal_milli"] == m["a"]
+
+
+def test_zero_token_docs_excluded(ray_session):
+    import ray
+
+    from fuzi_rd.functions.lm_score import unigram_logprob
+
+    out = unigram_logprob(_docs_ds(ray, ["hello world", "", "   "])).take_all()
+    assert [r["doc_id"] for r in out] == [0]
+
+
+def test_top_k_cap_and_oov(ray_session):
+    import ray
+
+    from fuzi_rd.functions.lm_score import fit_unigram_vocab, unigram_logprob
+
+    texts = ["common common common rare", "common unique"]
+    # counts: common=4, rare=1, unique=1; total=6
+    ds = _docs_ds(ray, texts)
+    vocab, total = fit_unigram_vocab(ds, top_k=1)
+    assert vocab == {"common": 4}
+    assert total == 6  # total is pre-cap: retained probs unchanged
+    out = unigram_logprob(ds, top_k=1).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    m_common = math.floor(-1000 * math.log(4 / 6))
+    oov = math.floor(-1000 * math.log(1 / 6))
+    assert by_id[0]["surprisal_milli"] == 3 * m_common + oov
+    assert by_id[1]["surprisal_milli"] == m_common + oov
+
+
+def test_degenerate_doc_scores_low(ray_session):
+    """A doc repeating the corpus's most common token scores a lower mean
+    surprisal than a doc of rare tokens — the signal the filter uses."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import unigram_logprob
+
+    texts = ["the " * 50, "zyzzyva qoph xylem"] + ["the quick brown fox"] * 10
+    out = unigram_logprob(_docs_ds(ray, texts)).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["mean_surprisal_milli"] < by_id[1]["mean_surprisal_milli"]
