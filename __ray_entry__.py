@@ -1036,6 +1036,137 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
+def _doc_url_batch(batch):
+    """Deterministic per-document url with varied case/subdomain/multi-part
+    TLD/port — shared by host_rollup and blocklist_keep, reproduced
+    verbatim by their oracles (the sf tables carry no urls)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    did = batch.column("doc_id")
+
+    def mod(n):
+        return pc.subtract(did, pc.multiply(pc.divide(did, n), n))
+
+    m3, m5, m7, m23 = mod(3), mod(5), mod(7), mod(23)
+    sub = pc.if_else(
+        pc.equal(m3, 0),
+        "www.",
+        pc.if_else(pc.equal(m3, 1), "News.CDN.", ""),
+    )
+    tld = pc.if_else(
+        pc.equal(m5, 0),
+        "com",
+        pc.if_else(
+            pc.equal(m5, 1),
+            "co.uk",
+            pc.if_else(
+                pc.equal(m5, 2),
+                "org",
+                pc.if_else(pc.equal(m5, 3), "com.au", "io"),
+            ),
+        ),
+    )
+    port = pc.if_else(pc.equal(m7, 0), ":8080", "")
+    url = pc.binary_join_element_wise(
+        "https://",
+        sub,
+        "Host",
+        pc.cast(m23, pa.string()),
+        ".",
+        tld,
+        port,
+        "/",
+        batch.column("source"),
+        "/",
+        pc.cast(did, pa.string()),
+        "",
+    )
+    return batch.append_column("url", url)
+
+
+_DOC_URL_SQL = r"""
+              SELECT doc_id, n_chars,
+                'https://'
+                  || CASE doc_id % 3 WHEN 0 THEN 'www.'
+                       WHEN 1 THEN 'News.CDN.' ELSE '' END
+                  || 'Host' || CAST(doc_id % 23 AS VARCHAR) || '.'
+                  || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                       WHEN 2 THEN 'org' WHEN 3 THEN 'com.au'
+                       ELSE 'io' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+                  || '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+"""
+
+_DOMAIN_SQL = r"""
+              SELECT doc_id, n_chars,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                       1)) AS host,
+                     CASE WHEN regexp_matches(
+                            lower(regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                              1)),
+                            '[^.]+\.(co|com|org|net|ac|gov|edu)\.[A-Za-z]{2}$')
+                     THEN regexp_extract(
+                            lower(regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                              1)),
+                            '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[A-Za-z]{2})$',
+                            1)
+                     ELSE regexp_extract(
+                            lower(regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                              1)),
+                            '([^.]+\.[^.]+)$', 1)
+                     END AS domain
+              FROM u
+"""
+
+
+def _q_host_rollup(sf_dir: str):
+    """Domain-level curation rollup: url -> host -> registered domain
+    (vectorized RE2 kernels, heuristic multi-part-TLD handling), then a
+    small groupby on the domain key — the aggregation a crawl pipeline
+    runs before domain-level sampling/blocking decisions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from fuzi_rd.functions.urltools import host_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def with_domain(batch: pa.Table) -> pa.Table:
+        return host_stats_batch(_doc_url_batch(batch)).select(
+            ["domain", "n_chars"]
+        )
+
+    out = (
+        ds.map_batches(with_domain, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+    )
+    return out
+
+
+def _q_blocklist_keep(sf_dir: str):
+    """Domain blocklist filter: the list ships via ray.put once and each
+    task probes it with a vectorized is_in — no shuffle, no join (the
+    broadcast-small-side pattern; curation blocklists are ~10k rows)."""
+    from fuzi_rd.functions.urltools import domain_blocklist_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    with_urls = ds.map_batches(_doc_url_batch, batch_format="pyarrow")
+    kept = domain_blocklist_keep(
+        with_urls, blocked=["host3.co.uk", "host7.com.au", "host11.com"]
+    )
+    return kept.select_columns(["doc_id"])
+
+
 def _q_unigram_lm(sf_dir: str):
     """Corpus-fit unigram LM surprisal per document (CCNet-style quality
     signal) — two-stage broadcast pattern: partial counts + small groupby
@@ -1125,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _q_pdf_extract,
         "warc_ingest": _q_warc_ingest,
         "unigram_lm": _q_unigram_lm,
+        "host_rollup": _q_host_rollup,
+        "blocklist_keep": _q_blocklist_keep,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
         "minhash_bands": _q_minhash_bands,
@@ -1296,6 +1429,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS text_len,
                    'ok' AS status
             FROM documents
+        """,
+        "host_rollup": f"""
+            WITH u AS ({_DOC_URL_SQL}),
+            d AS ({_DOMAIN_SQL})
+            SELECT domain, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM d GROUP BY domain
+        """,
+        "blocklist_keep": f"""
+            WITH u AS ({_DOC_URL_SQL}),
+            d AS ({_DOMAIN_SQL})
+            SELECT doc_id FROM d
+            WHERE domain NOT IN ('host3.co.uk', 'host7.com.au', 'host11.com')
         """,
         "unigram_lm": r"""
             WITH tok AS (

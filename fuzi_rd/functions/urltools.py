@@ -50,3 +50,60 @@ def normalize_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArr
 def url_normalize_batch(batch: pa.Table, col: str = "url") -> pa.Table:
     """map_batches form: appends ``url_norm`` next to the input columns."""
     return batch.append_column("url_norm", normalize_urls(batch.column(col)))
+
+
+# ---------------------------------------------------------------------------
+# host / registered-domain extraction (domain-level curation keys)
+
+_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?P<h>[^/?#:]+)"
+# heuristic public-suffix handling: a built-in set of common second-level
+# suffixes (co.uk, com.au, ...).  The real PSL is external data this
+# sandbox doesn't ship; the two-regex preference below covers the bulk of
+# crawl traffic and is exactly reproducible in SQL (both are RE2).
+_THREE_LABEL = r"(?P<d>[^.]+\.(?:co|com|org|net|ac|gov|edu)\.[A-Za-z]{2})$"
+_TWO_LABEL = r"(?P<d>[^.]+\.[^.]+)$"
+
+
+def extract_hosts(urls: pa.ChunkedArray | pa.Array):
+    """Lowercased host of each url; null when no scheme/authority."""
+    h = pc.struct_field(pc.extract_regex(urls, _HOST), "h")
+    return pc.utf8_lower(h)
+
+
+def registered_domains(hosts: pa.ChunkedArray | pa.Array):
+    """Registered domain of a (lowercased) host column: prefer the 3-label
+    form when the 2-label tail is a known second-level suffix, else the
+    2-label tail; bare hosts (no dot) pass through unchanged."""
+    three = pc.struct_field(pc.extract_regex(hosts, _THREE_LABEL), "d")
+    two = pc.struct_field(pc.extract_regex(hosts, _TWO_LABEL), "d")
+    dom = pc.if_else(pc.is_valid(three), three, two)
+    return pc.if_else(pc.is_valid(dom), dom, hosts)
+
+
+def host_stats_batch(batch: pa.Table, col: str = "url") -> pa.Table:
+    """map_batches form: appends ``host`` and ``domain`` columns."""
+    hosts = extract_hosts(batch.column(col))
+    return batch.append_column("host", hosts).append_column(
+        "domain", registered_domains(hosts)
+    )
+
+
+def domain_blocklist_keep(ds, blocked, col: str = "url"):
+    """Drop rows whose registered domain is on the blocklist.
+
+    The blocklist is a SMALL side (curation lists are thousands of
+    entries): it ships to the object store once via ``ray.put`` and each
+    task does a vectorized ``pc.is_in`` probe — no shuffle, no join.
+    """
+    import ray
+
+    blocked_ref = ray.put(pa.array(sorted(set(blocked)), pa.string()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bl = ray.get(blocked_ref)
+        dom = registered_domains(extract_hosts(batch.column(col)))
+        return batch.filter(
+            pc.invert(pc.is_in(dom, value_set=bl))
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

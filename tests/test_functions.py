@@ -174,6 +174,63 @@ def test_url_normalize():
     ]
 
 
+def test_host_and_domain_extraction():
+    """Host: userinfo/port stripped, lowercased, null for relative urls.
+    Registered domain: 2-label default, known second-level suffixes take 3
+    labels, bare hosts pass through."""
+    from fuzi_rd.functions.urltools import extract_hosts, registered_domains
+
+    urls = pa.array(
+        [
+            "https://WWW.Example.COM/path",
+            "http://user:pw@News.CDN.Host5.co.uk:8080/x?q=1",
+            "https://a.b.c.host.com.au/",
+            "https://localhost:9999/admin",
+            "relative/path",
+            "ftp://files.example.org/pub",
+        ]
+    )
+    hosts = extract_hosts(urls)
+    assert hosts.to_pylist() == [
+        "www.example.com",
+        "news.cdn.host5.co.uk",
+        "a.b.c.host.com.au",
+        "localhost",
+        None,
+        "files.example.org",
+    ]
+    assert registered_domains(hosts).to_pylist() == [
+        "example.com",
+        "host5.co.uk",
+        "host.com.au",
+        "localhost",
+        None,
+        "example.org",
+    ]
+
+
+def test_domain_blocklist_keep(ray_session):
+    import ray
+
+    from fuzi_rd.functions.urltools import domain_blocklist_keep
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "url": [
+                "https://good.example.com/a",
+                "https://Sub.Bad.co.uk/b",  # blocked via registered domain
+                "https://bad.co.uk/c",
+                "https://other.io/d",
+            ],
+        }
+    )
+    kept = domain_blocklist_keep(
+        ray.data.from_arrow(rows), blocked=["bad.co.uk"]
+    )
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 3]
+
+
 def test_pii_scrub_batch():
     """Redaction: emails and URLs become placeholder tokens; everything
     else is untouched (vectorized regexp_replace — oracle-checked too)."""
