@@ -338,6 +338,23 @@ class _Doc:
         return None
 
 
+# decompression-bomb guard: a crawled PDF's Flate stream may expand to
+# gigabytes from kilobytes; content streams are text operators, so anything
+# past this is hostile, not text
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
+def _inflate_capped(data: bytes, wbits: int) -> bytes | None:
+    d = zlib.decompressobj(wbits)
+    try:
+        out = d.decompress(data, _MAX_STREAM_BYTES)
+    except zlib.error:
+        return None
+    if d.unconsumed_tail:  # hit the cap mid-stream: bomb, not a document
+        return None
+    return out
+
+
 def _decode_stream(doc: _Doc, obj: _Obj) -> bytes | None:
     filt = doc.resolve(obj.value.get("Filter")) if isinstance(obj.value, dict) else None
     raw = obj.stream or b""
@@ -348,13 +365,12 @@ def _decode_stream(doc: _Doc, obj: _Obj) -> bytes | None:
     for f in filters:
         f = doc.resolve(f)
         if f == "FlateDecode":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                try:
-                    data = zlib.decompress(data, -15)  # raw deflate
-                except zlib.error:
-                    return None
+            out = _inflate_capped(data, zlib.MAX_WBITS)
+            if out is None:
+                out = _inflate_capped(data, -15)  # raw deflate
+            if out is None:
+                return None
+            data = out
         elif f in ("ASCIIHexDecode",):
             hx = bytes(c for c in data if c in b"0123456789abcdefABCDEF")
             if len(hx) % 2:

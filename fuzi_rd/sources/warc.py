@@ -118,20 +118,32 @@ def make_warc(
 # reader
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (or pass through)."""
+# decompression-bomb guard: segments are ~1 GB compressed and 3-5x that
+# decompressed; a member expanding past this is hostile, and a task heap
+# could not hold it anyway
+_MAX_SEGMENT_BYTES = 8 * 1024 * 1024 * 1024
+
+
+def _gunzip_members(data: bytes, max_bytes: int = _MAX_SEGMENT_BYTES) -> bytes:
+    """Decompress a concatenation of gzip members (or pass through).
+    Truncated/corrupt tail members and output past ``max_bytes`` drop the
+    tail but keep every fully-decoded record before it."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = []
+    budget = max_bytes
     while data:
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(data))
-            out.append(d.flush())
+            chunk = d.decompress(data, budget)
         except zlib.error:
             break  # truncated/corrupt tail member: keep what decoded
+        if d.unconsumed_tail:
+            break  # output cap hit mid-member: bomb guard
+        out.append(chunk)
+        budget -= len(chunk)
         data = d.unused_data
-        if not d.eof:
+        if not d.eof or budget <= 0:
             break
     return b"".join(out)
 

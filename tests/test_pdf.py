@@ -151,6 +151,40 @@ def test_compressed_stream_with_obj_pattern_inside():
     assert pdf_text(make_pdf(text, 1)) == text  # seq 1 -> FlateDecode
 
 
+def test_flate_bomb_rejected():
+    # 1 KB of compressed zeros expanding to ~128 MB: stream must be
+    # dropped (None -> empty page text), never inflated into the heap
+    bomb = zlib.compress(b"\x00" * (128 * 1024 * 1024), 9)
+    assert len(bomb) < 200_000
+    data = _one_page_pdf(bomb)
+    data = data.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    doc = parse_pdf(data)
+    assert doc.text == ""
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_random_bytes_never_hang(blob):
+    # any input: clean PdfError or a parsed document, never a hang/crash
+    try:
+        parse_pdf(b"%PDF-1.4\n" + blob)
+    except PdfError:
+        pass
+
+
+@given(st.integers(0, 60), st.integers(0, 2000), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_bitflip_valid_pdf(seq, pos, val):
+    # single-byte corruption of a valid PDF: parse or clean PdfError
+    base = make_pdf("some body text\nsecond line", seq % 24)
+    pos = pos % len(base)
+    data = base[:pos] + bytes([val]) + base[pos + 1 :]
+    try:
+        parse_pdf(data)
+    except (PdfError, RecursionError):
+        pass
+
+
 # ---------------------------------------------------------------------------
 # Ray stage
 

@@ -90,6 +90,26 @@ def test_lf_only_headers():
     assert got[0]["block"] == block
 
 
+def test_gzip_bomb_guard():
+    import io
+    import zlib as _zlib
+
+    from fuzi_rd.sources.warc import _gunzip_members
+
+    # a member expanding past max_bytes drops the tail, keeps prior members
+    good = make_warc(_recs(1), compress=True)
+    buf = io.BytesIO(good)
+    buf.seek(0, 2)
+    gz = gzip.GzipFile(fileobj=buf, mode="wb", mtime=0)
+    gz.write(b"\x00" * (4 * 1024 * 1024))
+    gz.close()
+    data = buf.getvalue()
+    out = _gunzip_members(data, max_bytes=1024 * 1024)
+    recs = [r for r in iter_warc_records(out) if r["type"] == "response"]
+    assert len(recs) == 1  # the good member survived; the bomb was dropped
+    assert len(out) < 1024 * 1024 + 1
+
+
 def test_corrupt_gzip_tail_keeps_decoded_prefix():
     data = make_warc(_recs(4), compress=True)
     cut = data[: len(data) - 15]  # corrupt the final member
