@@ -1167,6 +1167,27 @@ def _q_blocklist_keep(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _q_domain_sample(sf_dir: str):
+    """Stratified per-domain quota sampling (~cap docs per registered
+    domain): small groupby fits per-stratum thresholds, thresholds ship
+    once via ray.put, the filter pass touches no shuffle.  Deterministic
+    md5-byte rule -> exact DuckDB oracle."""
+    import pyarrow as pa
+
+    from fuzi_rd.functions.sampling import stratified_sample_keep
+    from fuzi_rd.functions.urltools import host_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def with_domain(batch: pa.Table) -> pa.Table:
+        return host_stats_batch(_doc_url_batch(batch)).select(
+            ["doc_id", "domain"]
+        )
+
+    docs = ds.map_batches(with_domain, batch_format="pyarrow")
+    return stratified_sample_keep(docs, key_col="domain", cap=2)
+
+
 def _q_unigram_lm(sf_dir: str):
     """Corpus-fit unigram LM surprisal per document (CCNet-style quality
     signal) — two-stage broadcast pattern: partial counts + small groupby
@@ -1257,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "unigram_lm": _q_unigram_lm,
         "host_rollup": _q_host_rollup,
+        "domain_sample": _q_domain_sample,
         "blocklist_keep": _q_blocklist_keep,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
@@ -1435,6 +1457,16 @@ def oracle_sql() -> dict[str, str]:
             d AS ({_DOMAIN_SQL})
             SELECT domain, count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM d GROUP BY domain
+        """,
+        "domain_sample": f"""
+            WITH u AS ({_DOC_URL_SQL}),
+            d AS ({_DOMAIN_SQL}),
+            c AS (SELECT domain, count(*) AS n FROM d GROUP BY domain)
+            SELECT d.doc_id, d.domain
+            FROM d JOIN c USING (domain)
+            WHERE (256 * 2 // c.n) >= 256
+               OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                    < printf('%02x', 256 * 2 // c.n)
         """,
         "blocklist_keep": f"""
             WITH u AS ({_DOC_URL_SQL}),

@@ -231,6 +231,42 @@ def test_domain_blocklist_keep(ray_session):
     assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 3]
 
 
+def test_stratified_sample_keep(ray_session):
+    """Per-stratum quota: a 1000-row hot domain keeps ~cap rows, a
+    below-cap domain keeps everything; the kept set is deterministic."""
+    import hashlib
+
+    import ray
+
+    from fuzi_rd.functions.sampling import stratified_sample_keep
+
+    n_hot = 1000
+    rows = pa.table(
+        {
+            "doc_id": pa.array(range(n_hot + 5), pa.int64()),
+            "domain": ["hot.com"] * n_hot + ["cold.org"] * 5,
+        }
+    )
+    cap = 30
+    out = stratified_sample_keep(
+        ray.data.from_arrow(rows), key_col="domain", cap=cap
+    ).take_all()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    # cold stratum (n < cap): threshold 256, everything kept
+    assert sorted(by_dom["cold.org"]) == list(range(n_hot, n_hot + 5))
+    # hot stratum: expectation ~cap (threshold floor(256*30/1000)=7)
+    thr = (256 * cap) // n_hot
+    expect = [
+        i
+        for i in range(n_hot)
+        if hashlib.md5(str(i).encode()).digest()[0] < thr
+    ]
+    assert sorted(by_dom["hot.com"]) == expect
+    assert 0 < len(expect) < 3 * cap
+
+
 def test_pii_scrub_batch():
     """Redaction: emails and URLs become placeholder tokens; everything
     else is untouched (vectorized regexp_replace — oracle-checked too)."""
