@@ -1167,6 +1167,16 @@ def _q_blocklist_keep(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _q_doc_compress_ratio(sf_dir: str):
+    """zlib compression ratio per document (cheap repetitiveness signal;
+    rows-only — SQL has no zlib)."""
+    from fuzi_rd.functions.textstats import compress_ratio_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        compress_ratio_batch, batch_format="pyarrow"
+    )
+
+
 def _q_domain_sample(sf_dir: str):
     """Stratified per-domain quota sampling (~cap docs per registered
     domain): small groupby fits per-stratum thresholds, thresholds ship
@@ -1282,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_keep": _q_blocklist_keep,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
+        "doc_compress_ratio": _q_doc_compress_ratio,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_keep": _q_minhash_keep,

@@ -231,6 +231,30 @@ def test_domain_blocklist_keep(ray_session):
     assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 3]
 
 
+def test_compress_ratio_batch():
+    """Repetitive text compresses far below prose; empty docs score 0;
+    values are exact milli integers (pinned: deterministic for the pinned
+    zlib level)."""
+    import zlib as _zlib
+
+    prose = "The quick brown fox jumps over the lazy dog near the river bank. " * 8
+    spam = "buy now " * 64
+    t = textstats.compress_ratio_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": [prose, spam, ""],
+            }
+        )
+    )
+    got = t.column("compress_milli").to_pylist()
+    assert got[2] == 0
+    assert got[1] < got[0] < 1000
+    assert got[0] == (1000 * len(_zlib.compress(prose.encode(), 6))) // len(
+        prose.encode()
+    )
+
+
 def test_stratified_sample_keep(ray_session):
     """Per-stratum quota: a 1000-row hot domain keeps ~cap rows, a
     below-cap domain keeps everything; the kept set is deterministic."""
