@@ -934,6 +934,31 @@ def _q_corpus_job(sf_dir: str):
     )
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """Selection pass over the deduplicated corpus (pipelines/curation.py):
+    domain + repetition + compression annotation, signal-band gates, and a
+    per-language stratified quota — all shuffle-free except the one-row-
+    per-stratum quota fit.  Consumes the corpus_job output (checkpointed,
+    so the two-pass quota sampling re-reads parquet, not the extractor)."""
+    import pathlib
+
+    import ray
+
+    from fuzi_rd.pipelines.corpus import run_corpus
+    from fuzi_rd.pipelines.curation import curate_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    tier = pathlib.Path(sf_dir).name or "sf"
+    out = f"/tmp/fuzi_rd_corpus_job_{tier}"
+    if not pathlib.Path(out, "_manifests").is_dir():
+        run_corpus(pages, out, num_parts=32, batch_size=64, resume=False)
+    corpus = ray.data.read_parquet(out)
+    curated = curate_dataset(corpus, cap=40)
+    return curated.select_columns(
+        ["url", "lang_guess", "domain", "compress_milli", "dup_ngram_milli"]
+    )
+
+
 def _q_media_decode(sf_dir: str):
     import ray
 
@@ -1305,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feeds_xpath": _q_feeds_xpath,
         "corpus_pipeline": _q_corpus_pipeline,
         "corpus_job": _q_corpus_job,
+        "curation_pipeline": _q_curation_pipeline,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,

@@ -388,3 +388,59 @@ def test_corpus_pipeline_composition(ray_session, pages_dir):
         assert url == r["url"]
         expected = extract_from_html(html)["extracted_text"]
         assert r["content_hash"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_curation_stage(ray_session):
+    """curate_dataset: signal gates drop degenerate docs, the blocklist
+    drops its domains, and the per-stratum quota keeps small strata whole."""
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.pipelines.curation import curate_dataset
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing different songs about distant mountain weather. "
+    )
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "url": f"https://site{i % 3}.example.com/p/{i}",
+                "extracted_text": f"{prose} Variation token v{i} ends here.",
+                "lang_guess": "en" if i % 2 == 0 else "de",
+            }
+        )
+    # degenerate docs that the signal gates must drop
+    rows.append(
+        {
+            "url": "https://site0.example.com/spam",
+            "extracted_text": "buy now " * 200,  # compresses to ~nothing
+            "lang_guess": "en",
+        }
+    )
+    rows.append(
+        {
+            "url": "https://blocked.example.net/x",
+            "extracted_text": f"{prose} Blocked domain doc body here.",
+            "lang_guess": "en",
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": [r["url"] for r in rows],
+                "extracted_text": [r["extracted_text"] for r in rows],
+                "lang_guess": [r["lang_guess"] for r in rows],
+            }
+        )
+    )
+    out = curate_dataset(
+        ds, cap=1000, blocklist=["example.net"]
+    ).take_all()
+    urls = {r["url"] for r in out}
+    assert "https://site0.example.com/spam" not in urls  # gate
+    assert "https://blocked.example.net/x" not in urls  # blocklist
+    assert len(out) == 30  # cap >> strata sizes: every clean doc kept
+    assert all(r["domain"] == "example.com" for r in out)
+    assert all(200 <= r["compress_milli"] <= 950 for r in out)
