@@ -934,6 +934,91 @@ def _q_corpus_job(sf_dir: str):
     )
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Corpus clustering (cluster-balanced sampling / topic bucketing):
+    deterministic k-means on a bounded driver-side sample, centroids
+    broadcast once, per-batch nearest-centroid assignment (vectorized
+    matmul) — the same build as the IVF index, surfaced as a first-class
+    clustering operator.  Rows-only (iterative algorithm, no SQL)."""
+    from fuzi_rd.functions.simsearch import build_ivf_assignments
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _cents, assigned = build_ivf_assignments(ds, n_centroids=8)
+    return assigned.select_columns(["vec_id", "bucket"])
+
+
+_ROBOTS_POLICY = """
+User-agent: megacrawler
+Disallow: /
+
+User-agent: *
+Disallow: /src3/
+Disallow: /src7/
+Allow: /src7/1
+Disallow: /*8$
+"""
+
+
+def _q_robots_filter(sf_dir: str):
+    """Crawl-permission filter: per-host robots.txt policies (RFC 9309
+    longest-match semantics incl. wildcard + $ anchor) broadcast once,
+    urls filtered batch-locally.  The fixed policy exercises precedence:
+    Allow /src7/1 (len 7) overrides Disallow /src7/ (len 6) overrides
+    Disallow /*8$ (len 4); the oracle re-derives the same decisions with
+    CASE/LIKE algebra."""
+    from fuzi_rd.functions.robots import robots_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    with_urls = ds.map_batches(_doc_url_batch, batch_format="pyarrow")
+    hosts = [
+        f"{sub}host{k}.{tld}"
+        for sub in ("", "www.", "news.cdn.")
+        for k in range(23)
+        for tld in ("com", "co.uk", "org", "com.au", "io")
+    ]
+    kept = robots_keep(
+        with_urls, policies={h: _ROBOTS_POLICY for h in hosts}, agent="fuzi"
+    )
+    return kept.select_columns(["doc_id", "source"])
+
+
+def _q_events_json_rollup(sf_dir: str):
+    """Semi-structured extraction: parse the events.props JSON column
+    (stdlib json per row — JSON decode is inherently per-record, same
+    situation as hashing), bucket by the extracted key, aggregate count +
+    fixed-point value sum.  The extraction happens inside map_batches;
+    only (bucket, partials) rows reach the groupby."""
+    import json
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["props", "value"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                ks.append(int(json.loads(p or "{}").get("k", -1)))
+            except (ValueError, TypeError):
+                ks.append(-1)
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "value_cents": _scaled_i64(batch.column("value"), 100),
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Selection pass over the deduplicated corpus (pipelines/curation.py):
     domain + repetition + compression annotation, signal-band gates, and a
@@ -1232,7 +1317,9 @@ def _q_unigram_lm(sf_dir: str):
     from fuzi_rd.functions.lm_score import unigram_logprob
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return unigram_logprob(ds)
+    # max_token_chars=None: exact whitespace tokenization for oracle parity
+    # (production default caps degenerate over-long tokens).
+    return unigram_logprob(ds, max_token_chars=None)
 
 
 def _q_warc_ingest(sf_dir: str):
@@ -1314,10 +1401,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": _q_unigram_lm,
         "host_rollup": _q_host_rollup,
         "domain_sample": _q_domain_sample,
+        "events_json_rollup": _q_events_json_rollup,
+        "robots_filter": _q_robots_filter,
         "blocklist_keep": _q_blocklist_keep,
         # rows-only (no SQL equivalent)
         "doc_lang_id": _q_doc_lang_id,
         "doc_compress_ratio": _q_doc_compress_ratio,
+        "embedding_clusters": _q_embedding_clusters,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_keep": _q_minhash_keep,
@@ -1494,6 +1584,24 @@ def oracle_sql() -> dict[str, str]:
             d AS ({_DOMAIN_SQL})
             SELECT domain, count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM d GROUP BY domain
+        """,
+        "robots_filter": r"""
+            SELECT doc_id, source FROM documents
+            WHERE NOT (
+              source = 'src3'
+              OR (source = 'src7'
+                  AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
+              OR (CAST(doc_id AS VARCHAR) LIKE '%8'
+                  AND NOT (source = 'src7'
+                           AND CAST(doc_id AS VARCHAR) LIKE '1%'))
+            )
+        """,
+        "events_json_rollup": r"""
+            SELECT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events
+            GROUP BY 1
         """,
         "domain_sample": f"""
             WITH u AS ({_DOC_URL_SQL}),

@@ -38,19 +38,28 @@ __all__ = ["fit_unigram_vocab", "unigram_logprob"]
 
 _TOKEN_RE = re.compile(r"\s+")
 
+# skew guard, ON by default (the df_cap lesson: production entry points
+# must not ship with the hazard live): an unbroken megabyte "token" is
+# binary junk, not vocabulary, and would ride the count shuffle as a
+# megabyte key.  The oracle query passes None (exact, whitespace-only).
+DEFAULT_MAX_TOKEN_CHARS = 1024
 
-def _tokens(text: str) -> list[str]:
+
+def _tokens(text: str, max_chars: int | None) -> list[str]:
     # mirrors the oracle-proven textstats convention:
     # string_split_regex(trim(text), '\s+') with empties dropped
     if not text or not text.strip():
         return []
-    return [t for t in _TOKEN_RE.split(text.strip()) if t]
+    toks = [t for t in _TOKEN_RE.split(text.strip()) if t]
+    if max_chars is not None:
+        toks = [t for t in toks if len(t) <= max_chars]
+    return toks
 
 
-def _count_batch(batch: pa.Table, text_col: str) -> pa.Table:
+def _count_batch(batch: pa.Table, text_col: str, max_chars: int | None) -> pa.Table:
     counts: dict[str, int] = {}
     for text in batch.column(text_col).to_pylist():
-        for tok in _tokens(text or ""):
+        for tok in _tokens(text or "", max_chars):
             counts[tok] = counts.get(tok, 0) + 1
     return pa.table(
         {
@@ -60,16 +69,24 @@ def _count_batch(batch: pa.Table, text_col: str) -> pa.Table:
     )
 
 
-def fit_unigram_vocab(ds, text_col: str = "text", top_k: int | None = None):
+def fit_unigram_vocab(
+    ds,
+    text_col: str = "text",
+    top_k: int | None = None,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
+):
     """Fit the unigram model; returns ``(vocab: dict[str, int], total: int)``.
 
     ``total`` is the full corpus token count (computed BEFORE the cap, so
     capped and uncapped fits agree on every retained token's probability).
+    ``max_token_chars`` drops degenerate over-long "tokens" before they ride
+    the count shuffle as keys; pass ``None`` for exact oracle parity.
     """
     from ray.data.aggregate import Sum
 
     counts = ds.map_batches(
-        lambda b: _count_batch(b, text_col), batch_format="pyarrow"
+        lambda b: _count_batch(b, text_col, max_token_chars),
+        batch_format="pyarrow",
     )
     # materialize the (small) vocabulary table once: lazy plans re-execute
     # the whole upstream per consumer, and we consume it twice below
@@ -87,12 +104,20 @@ class _ScoreDocs:
     """Actor-pool scorer: vocabulary read from the object store once per
     actor (zero-copy broadcast), integer milli-nat arithmetic per batch."""
 
-    def __init__(self, vocab_ref, total: int, id_col: str, text_col: str):
+    def __init__(
+        self,
+        vocab_ref,
+        total: int,
+        id_col: str,
+        text_col: str,
+        max_token_chars: int | None,
+    ):
         import ray
 
         vocab: dict[str, int] = ray.get(vocab_ref)
         self.id_col = id_col
         self.text_col = text_col
+        self.max_token_chars = max_token_chars
         # precompute per-token integer surprisal; OOV = count-1 event
         self.milli = {
             tok: math.floor(-1000.0 * math.log(c / total))
@@ -106,7 +131,7 @@ class _ScoreDocs:
         out_ids, n_toks, sums, means = [], [], [], []
         milli, oov = self.milli, self.oov
         for i, text in zip(ids, texts):
-            toks = _tokens(text or "")
+            toks = _tokens(text or "", self.max_token_chars)
             if not toks:
                 continue  # zero-token docs have no likelihood; excluded
             s = sum(milli.get(t, oov) for t in toks)
@@ -129,6 +154,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int | None = None,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
     concurrency: int | None = None,
     batch_size: int = 4096,
 ):
@@ -136,12 +162,16 @@ def unigram_logprob(
 
     ``top_k``: cap the broadcast vocabulary to the K most frequent tokens
     (driver + object-store memory bound at crawl scale); uncapped fits are
-    exact and oracle-checkable.  Zero-token documents are excluded (they
-    have no likelihood under the model).
+    exact and oracle-checkable.  ``max_token_chars`` (on by default) drops
+    degenerate over-long tokens in BOTH fit and score; the oracle query
+    passes ``None``.  Zero-token documents are excluded (they have no
+    likelihood under the model).
     """
     import ray
 
-    vocab, total = fit_unigram_vocab(ds, text_col=text_col, top_k=top_k)
+    vocab, total = fit_unigram_vocab(
+        ds, text_col=text_col, top_k=top_k, max_token_chars=max_token_chars
+    )
     vocab_ref = ray.put(vocab)
     if concurrency is None:
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -153,6 +183,7 @@ def unigram_logprob(
             "total": total,
             "id_col": id_col,
             "text_col": text_col,
+            "max_token_chars": max_token_chars,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -79,3 +79,20 @@ def test_degenerate_doc_scores_low(ray_session):
     out = unigram_logprob(_docs_ds(ray, texts)).take_all()
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[0]["mean_surprisal_milli"] < by_id[1]["mean_surprisal_milli"]
+
+def test_max_token_chars_drops_megatoken(ray_session):
+    """The default cap excludes degenerate over-long tokens from both fit
+    and score; passing None keeps them (oracle-exact mode)."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import fit_unigram_vocab, unigram_logprob
+
+    mega = "x" * 5000
+    ds = _docs_ds(ray, [f"a {mega} b", "a b"])
+    vocab, total = fit_unigram_vocab(ds)
+    assert mega not in vocab and total == 4  # a=2, b=2
+    out = {r["doc_id"]: r for r in unigram_logprob(ds).take_all()}
+    assert out[0]["n_tokens"] == 2  # mega token not scored either
+
+    vocab_exact, total_exact = fit_unigram_vocab(ds, max_token_chars=None)
+    assert mega in vocab_exact and total_exact == 5
