@@ -135,6 +135,30 @@ def _q_dedup_keep(sf_dir: str):
     return exact_dedup_keep(ds)
 
 
+def _q_cross_corpus_keep(sf_dir: str):
+    """Incremental-crawl dedup: the documents table anti-joined on exact
+    text digest against a 'previous crawl' reference corpus (every third
+    document) — the recurring production pass where each new crawl is
+    deduplicated against everything already kept.  Both sides reduce to
+    32-char digests in map_batches; one hash-partitioned left_anti join,
+    nothing on the driver."""
+    from fuzi_rd.functions.dedup import cross_corpus_dedup_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # reference corpus = every third document (deterministic subset;
+    # pyarrow has no modulo kernel, so the mask comes from numpy)
+    def _every_third(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    ref = ds.map_batches(_every_third, batch_format="pyarrow")
+    return cross_corpus_dedup_keep(ds, ref).select_columns(["doc_id"])
+
+
 def _q_quality_keep(sf_dir: str):
     """Filter form of the quality gate: only documents passing the integer
     thresholds survive."""
@@ -1372,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_keep": _q_dedup_keep,
+        "cross_corpus_keep": _q_cross_corpus_keep,
         "quality_keep": _q_quality_keep,
         "lang_counts": _q_lang_counts,
         "events_rollup": _q_events_rollup,
@@ -1472,6 +1497,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": """
             SELECT doc_id, text FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "cross_corpus_keep": """
+            SELECT doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.doc_id % 3 = 0
+                AND coalesce(r.text, '') = coalesce(d.text, '')
+            )
         """,
         "quality_keep": r"""
             WITH s AS (

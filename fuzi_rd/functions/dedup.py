@@ -83,6 +83,75 @@ def semi_join(ds, keys_ds, key: str, num_partitions: int | None = None):
     )
 
 
+def anti_join(ds, keys_ds, key: str, num_partitions: int | None = None):
+    """Distributed anti-join: rows of ``ds`` whose ``key`` does NOT appear
+    in ``keys_ds`` (which must contain exactly the key column).  Same
+    hash-partitioned shape as ``semi_join`` — no driver-side key set, no
+    broadcast — via the native ``left_anti`` join."""
+    return ds.join(
+        keys_ds,
+        join_type="left_anti",
+        num_partitions=_semi_join_partitions(num_partitions),
+        on=(key,),
+    )
+
+
+_XHASH = "__xcorpus_hash"
+
+
+def _with_md5(text_col: str, out_col: str = _XHASH):
+    def add(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+    return add
+
+
+def cross_corpus_dedup_keep(
+    new_ds,
+    ref_ds,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Incremental-crawl dedup: drop documents of ``new_ds`` whose exact
+    text already exists in the reference corpus ``ref_ds`` (the corpus a
+    previous crawl produced).  The recurring production shape: each new
+    crawl is deduplicated against everything already kept.
+
+    Scale shape: both sides reduce to 32-char digests inside
+    ``map_batches``; the reference side collapses to DISTINCT digests via a
+    groupby (fixed-width keys), then one hash-partitioned ``left_anti``
+    join drops seen documents.  Document text crosses an exchange exactly
+    once (inside the anti-join's partition shuffle of ``new_ds``); nothing
+    reaches the driver, so this holds when the reference corpus is 100x the
+    new crawl."""
+    hashed_new = new_ds.map_batches(_with_md5(text_col), batch_format="pyarrow")
+
+    def _ref_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table({_XHASH: pa.array(hashes, pa.string())})
+
+    # distinct reference digests: Count aggregate -> project the key only
+    ref_keys = (
+        ref_ds.map_batches(_ref_hash, batch_format="pyarrow")
+        .groupby(_XHASH)
+        .count()
+        .map_batches(
+            lambda b: b.select([_XHASH]), batch_format="pyarrow"
+        )
+    )
+    kept = anti_join(hashed_new, ref_keys, _XHASH, num_partitions)
+    return kept.map_batches(
+        lambda b: b.drop_columns([_XHASH]), batch_format="pyarrow"
+    )
+
+
 def exact_dedup_keep(ds, num_partitions: int | None = None):
     """The filter form: returns the documents dataset with exact duplicates
     dropped (first doc_id per distinct text wins).

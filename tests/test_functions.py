@@ -947,3 +947,48 @@ def test_frame_sampling_expands_rows(ray_session):
     ).take_all()
     assert len(out) >= 10
     assert {"media_id", "frame_index", "frame"} == set(out[0])
+
+
+def test_anti_join_drops_matching_keys(ray_session):
+    import ray
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(_docs_table(["a", "b", "c", "d"]))
+    keys = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 3], pa.int64())})
+    )
+    out = dedup.anti_join(ds, keys, "doc_id").take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2]
+
+
+def test_cross_corpus_dedup_keep(ray_session):
+    """New crawl deduplicated against a reference corpus: only documents
+    whose exact text is NOT in the reference survive."""
+    import ray
+
+    new = ray.data.from_arrow(_docs_table(["seen", "fresh", "seen2", "new2"]))
+    ref = ray.data.from_arrow(_docs_table(["seen", "seen2", "other"]))
+    out = dedup.cross_corpus_dedup_keep(new, ref).take_all()
+    assert sorted(r["text"] for r in out) == ["fresh", "new2"]
+    # schema passes through unchanged (helper hash column dropped)
+    assert sorted(out[0].keys()) == ["doc_id", "text"]
+
+
+def test_cross_corpus_dedup_is_anti_join(ray_session):
+    """Scale guard: one lazy plan with a Join (left_anti) — no driver-side
+    reference-hash set, no broadcast."""
+    import ray
+
+    new = ray.data.from_arrow(_docs_table(["a", "b"]))
+    ref = ray.data.from_arrow(_docs_table(["a"]))
+    out = dedup.cross_corpus_dedup_keep(new, ref)
+    names = []
+
+    def walk(op):
+        names.append(type(op).__name__)
+        for dep in op.input_dependencies:
+            walk(dep)
+
+    walk(out._logical_plan.dag)
+    assert "Join" in names
+    assert "Aggregate" in names  # distinct reference digests, in-plan
