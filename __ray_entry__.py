@@ -890,6 +890,39 @@ def _q_extract_pages(sf_dir: str):
     )
 
 
+def _q_page_links(sf_dir: str):
+    """Outlink extraction over the synthesized page table: actor-pool parse
+    (C kernel + fallback), arena flat-scan for anchors, <base href>-aware
+    resolution, row-expanding (src_url, dst_url, anchor, nofollow) output —
+    the crawl-frontier / webgraph feed (rows-only; HTML parse has no SQL)."""
+    import ray
+
+    from fuzi_rd.stages.links import extract_links_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return extract_links_dataset(ds, batch_size=16)
+
+
+def _q_link_graph(sf_dir: str):
+    """Domain-level webgraph rollup: the page outlink edge list reduced to
+    (src_domain, dst_domain, n_links) — vectorized host/domain extraction,
+    one groupby exchange on the domain pair (rows-only)."""
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.stages.links import extract_links_dataset, link_graph
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    graph = link_graph(extract_links_dataset(ds, batch_size=16))
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["src_domain", "dst_domain", "n_links"])
+
+    return graph.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_feeds_xpath(sf_dir: str):
     """Namespaced XPath queries over an Atom-flavored XML corpus — the XML
     twin of the extraction pipeline (reference parity surface: XPath with
@@ -1441,6 +1474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "extract_pages": _q_extract_pages,
+        "page_links": _q_page_links,
+        "link_graph": _q_link_graph,
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
         "corpus_pipeline": _q_corpus_pipeline,

@@ -1,0 +1,175 @@
+"""Link extraction + the domain-level web graph.
+
+The webgraph is the other first-class product of a crawl besides the text:
+outlinks drive crawl frontier ranking, spam/SEO-farm detection, and
+PageRank-style quality priors for corpus curation.
+
+``ExtractLinks`` is an actor-pool ``map_batches`` stage (same shape as
+``ExtractPages``, reference precedent Sources/Actor.swift:278-405 — warm
+parser state per actor, value rows across the boundary): parse each page
+(C kernel with Python fallback), flat-scan the arena for anchor elements,
+resolve hrefs against the page url (honoring ``<base href>``), and emit
+ROW-EXPANDING (src_url, dst_url, anchor, nofollow) rows — a streaming
+flat_map inside map_batches, no shuffle.
+
+``link_graph`` rolls the edge list up to registered-domain granularity:
+vectorized host/domain extraction, then one groupby on (src_domain,
+dst_domain) — the only exchange, carrying fixed-width-ish domain pairs,
+never page HTML.
+
+Scale notes (100 TB): ``max_links_per_page`` caps row expansion (link
+farms publish 10k+ anchors per page; the cap bounds both batch memory and
+the groupby's skew).  Per-page work is one parse (shared with extraction
+when composed) + one O(nodes) scan.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit
+
+import pyarrow as pa
+
+from fuzi_rd.dom import ELEMENT
+from fuzi_rd.html_parser import parse_html_bytes
+
+DEFAULT_MAX_LINKS = 1000
+_KEEP_SCHEMES = ("http", "https")
+
+
+def _page_links(arena, base_url: str, max_links: int) -> list[tuple[str, str, bool]]:
+    """(dst_url, anchor_text, nofollow) for each anchor, in document order.
+
+    Resolution: first ``<base href>`` wins (HTML semantics), else the page
+    url.  Only http(s) results are kept — mailto:/javascript:/data: are
+    not crawl edges.  Anchor text is the element's string-value, capped.
+    """
+    names = arena.names
+    types = arena.types
+    attrs = arena.attrs
+    dead = arena.dead
+
+    base = base_url
+    out: list[tuple[str, str, bool]] = []
+    for nid in range(1, len(types)):
+        if dead[nid] or types[nid] != ELEMENT:
+            continue
+        name = names[nid]
+        if name == "base" and base is base_url:
+            a = attrs[nid]
+            href = a.get("href") if a else None
+            if href:
+                base = urljoin(base_url, href.strip())
+            continue
+        if name != "a":
+            continue
+        a = attrs[nid]
+        href = a.get("href") if a else None
+        if not href:
+            continue
+        try:
+            dst = urljoin(base, href.strip())
+            scheme = urlsplit(dst).scheme.lower()
+        except ValueError:
+            continue
+        if scheme not in _KEEP_SCHEMES:
+            continue
+        rel = (a.get("rel") or "").lower()
+        anchor = arena.string_value(nid).strip()[:200]
+        out.append((dst, anchor, "nofollow" in rel.split()))
+        if len(out) >= max_links:
+            break
+    return out
+
+
+class ExtractLinks:
+    """Callable class for ``ds.map_batches(ExtractLinks, concurrency=N,
+    batch_format="pyarrow")`` over (url, html) pages.  Emits one row per
+    kept anchor: (src_url, dst_url, anchor, nofollow)."""
+
+    def __init__(self, max_links_per_page: int = DEFAULT_MAX_LINKS):
+        self.max_links = max_links_per_page
+        try:
+            from fuzi_rd import chtml
+
+            self._chtml = chtml if chtml.available() else None
+        except Exception:
+            self._chtml = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        src, dst, anchor, nofollow = [], [], [], []
+        for url, raw in zip(urls, htmls):
+            raw = raw or b""
+            try:
+                arena = None
+                if self._chtml is not None:
+                    try:
+                        arena = self._chtml.parse_html_bytes_fast(raw)
+                    except Exception:
+                        arena = None  # Python parser is the authority
+                if arena is None:
+                    arena = parse_html_bytes(raw, track_lines=False)
+                links = _page_links(arena, url, self.max_links)
+            except Exception:
+                continue  # poison-pill tolerance: a broken page has no edges
+            for d, a, nf in links:
+                src.append(url)
+                dst.append(d)
+                anchor.append(a)
+                nofollow.append(nf)
+        return pa.table(
+            {
+                "src_url": pa.array(src, pa.string()),
+                "dst_url": pa.array(dst, pa.string()),
+                "anchor": pa.array(anchor, pa.large_string()),
+                "nofollow": pa.array(nofollow, pa.bool_()),
+            }
+        )
+
+
+def extract_links_dataset(
+    pages_ds,
+    max_links_per_page: int = DEFAULT_MAX_LINKS,
+    concurrency=None,
+    batch_size: int = 256,
+):
+    """Wire ExtractLinks onto a (url, html) Dataset (lazy)."""
+    import ray
+
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, int(n_cpus * 0.75))
+    return pages_ds.map_batches(
+        ExtractLinks,
+        fn_constructor_kwargs={"max_links_per_page": max_links_per_page},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def link_graph(links_ds, drop_nofollow: bool = True, drop_self: bool = True):
+    """Domain-level edge weights from a (src_url, dst_url, nofollow) edge
+    list: (src_domain, dst_domain, n_links).  One groupby exchange on the
+    domain pair; hosts/domains are extracted vectorized per batch."""
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.urltools import extract_hosts, registered_domains
+
+    def to_domains(batch: pa.Table) -> pa.Table:
+        if drop_nofollow:
+            batch = batch.filter(pc.invert(batch.column("nofollow")))
+        s = registered_domains(extract_hosts(batch.column("src_url")))
+        d = registered_domains(extract_hosts(batch.column("dst_url")))
+        out = pa.table({"src_domain": s, "dst_domain": d})
+        if drop_self:
+            out = out.filter(
+                pc.invert(
+                    pc.equal(out.column("src_domain"), out.column("dst_domain"))
+                )
+            )
+        return out
+
+    edges = links_ds.map_batches(to_domains, batch_format="pyarrow")
+    return edges.groupby(["src_domain", "dst_domain"]).count()

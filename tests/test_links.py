@@ -1,0 +1,117 @@
+"""Link extraction + domain webgraph (stages/links.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from fuzi_rd.html_parser import parse_html_bytes
+from fuzi_rd.stages.links import ExtractLinks, _page_links, link_graph
+
+
+def _links(html: str, url: str = "http://ex.com/dir/page", max_links: int = 1000):
+    arena = parse_html_bytes(html.encode("utf-8"), track_lines=False)
+    return _page_links(arena, url, max_links)
+
+
+def test_relative_and_absolute_resolution():
+    out = _links(
+        "<html><body>"
+        '<a href="sub/x.html">rel</a>'
+        '<a href="/root.html">abs path</a>'
+        '<a href="http://other.org/p">abs</a>'
+        "</body></html>"
+    )
+    assert [d for d, _, _ in out] == [
+        "http://ex.com/dir/sub/x.html",
+        "http://ex.com/root.html",
+        "http://other.org/p",
+    ]
+    assert [a for _, a, _ in out] == ["rel", "abs path", "abs"]
+
+
+def test_base_href_wins():
+    out = _links(
+        '<html><head><base href="http://cdn.ex.com/assets/"></head>'
+        '<body><a href="img/x">x</a></body></html>'
+    )
+    assert out[0][0] == "http://cdn.ex.com/assets/img/x"
+
+
+def test_non_http_schemes_dropped():
+    out = _links(
+        "<html><body>"
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="https://ok.com/">ok</a>'
+        "</body></html>"
+    )
+    assert len(out) == 1 and out[0][0] == "https://ok.com/"
+
+
+def test_nofollow_flag_and_anchor_text():
+    out = _links(
+        '<html><body><a href="/x" rel="NoFollow sponsored">'
+        "<b>deep</b> text</a></body></html>"
+    )
+    (dst, anchor, nf) = out[0]
+    assert nf is True
+    assert anchor == "deep text"
+
+
+def test_missing_href_and_link_cap():
+    html = "<html><body><a name='x'>no href</a>" + "".join(
+        f'<a href="/p{i}">l</a>' for i in range(50)
+    )
+    out = _links(html + "</body></html>", max_links=10)
+    assert len(out) == 10
+    assert out[0][0] == "http://ex.com/p0"
+
+
+def test_extract_links_stage_and_graph(ray_session):
+    import ray
+
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://a.com/1",
+                    "http://a.com/2",
+                    "http://sub.b.co.uk/x",
+                    "http://broken.com/x",
+                ]
+            ),
+            "html": pa.array(
+                [
+                    b'<html><body><a href="http://b.co.uk/p">t</a>'
+                    b'<a href="http://a.com/self">s</a></body></html>',
+                    b'<html><body><a href="http://b.co.uk/q" rel="nofollow">n</a>'
+                    b'<a href="http://c.org/r">c</a></body></html>',
+                    b'<html><body><a href="/local">l</a>'
+                    b'<a href="http://a.com/back">b</a></body></html>',
+                    b"\x00\xff not really html \x00",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(pages)
+    links = ds.map_batches(ExtractLinks, batch_format="pyarrow", concurrency=1)
+    rows = links.take_all()
+    # nofollow edge present in the edge list, flagged
+    assert any(r["nofollow"] for r in rows)
+    # poison page contributed no edges but didn't fail the block
+    assert all(r["src_url"] != "http://broken.com/x" for r in rows)
+
+    graph = link_graph(
+        ds.map_batches(ExtractLinks, batch_format="pyarrow", concurrency=1)
+    ).take_all()
+    edges = {(r["src_domain"], r["dst_domain"]): r["count()"] for r in graph}
+    # self-loops (a.com->a.com, sub.b.co.uk->b.co.uk is NOT a self loop at
+    # domain level? sub.b.co.uk registers as b.co.uk -> /local IS dropped
+    # as relative-kept-http? no: /local resolves to sub.b.co.uk, same
+    # registered domain => self loop, dropped) and nofollow edges are gone
+    assert edges == {
+        ("a.com", "b.co.uk"): 1,
+        ("a.com", "c.org"): 1,
+        ("b.co.uk", "a.com"): 1,
+    }
