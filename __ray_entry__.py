@@ -402,6 +402,17 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (NFC + whitespace collapse + trim) —
+    the pass run before hashing/dedup so encoding variants of the same
+    prose collapse to identical bytes."""
+    from fuzi_rd.functions.textstats import normalize_text_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        normalize_text_batch, batch_format="pyarrow"
+    )
+
+
 def _q_stopword_stats(sf_dir: str):
     """Stopword counts + exact milli ratio per document (Gopher-style
     fluency signal) — one vectorized regex count, integer arithmetic."""
@@ -923,6 +934,28 @@ def _q_link_graph(sf_dir: str):
     return graph.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_domain_pagerank(sf_dir: str):
+    """PageRank over the domain webgraph — power iteration as a dataset
+    job (per-iteration hash join + groupby on fixed-size (node, rank)
+    rows); the curation quality prior.  Rows-only (iterative algorithm,
+    no SQL)."""
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.functions.graph import pagerank
+    from fuzi_rd.stages.links import extract_links_dataset, link_graph
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    graph = link_graph(extract_links_dataset(ds, batch_size=16))
+
+    def _std(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["src", "dst", "w"])
+
+    edges = graph.map_batches(_std, batch_format="pyarrow")
+    return pagerank(edges, weight_col="w", n_iter=5)
+
+
 def _q_feeds_xpath(sf_dir: str):
     """Namespaced XPath queries over an Atom-flavored XML corpus — the XML
     twin of the extraction pipeline (reference parity surface: XPath with
@@ -1442,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
         "pii_scrub": _q_pii_scrub,
+        "doc_normalize": _q_doc_normalize,
         "stopword_stats": _q_stopword_stats,
         "url_normalize": _q_url_normalize,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1476,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _q_extract_pages,
         "page_links": _q_page_links,
         "link_graph": _q_link_graph,
+        "domain_pagerank": _q_domain_pagerank,
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -1722,6 +1757,12 @@ def oracle_sql() -> dict[str, str]:
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                            '<EMAIL>', 'g'),
                        'https?://[^\s]+', '<URL>', 'g') AS scrubbed_text
+            FROM documents
+        """,
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+                       AS norm_text
             FROM documents
         """,
         "stopword_stats": r"""

@@ -1105,21 +1105,20 @@ def simhash_near_pairs(
     hashed = ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def _blocks(batch: pa.Table) -> pa.Table:
-        ids, blocks, keys, hashes = [], [], [], []
-        for d, h in zip(
-            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
-        ):
-            for b in range(4):
-                ids.append(d)
-                blocks.append(b)
-                keys.append((h >> (16 * b)) & 0xFFFF)
-                hashes.append(h)
+        # vectorized 4x row expansion: repeat each (id, hash) 4 times and
+        # slice the 16-bit key per block with one shift/mask pass
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        blocks = np.tile(np.arange(4, dtype=np.uint64), n)
+        hs4 = np.repeat(hs, 4)
+        keys = (hs4 >> (blocks * np.uint64(16))) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "block": pa.array(blocks, pa.int32()),
-                "key": pa.array(keys, pa.int32()),
-                "simhash": pa.array(hashes, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "block": pa.array(blocks.astype(np.int32), pa.int32()),
+                "key": pa.array(keys.astype(np.int32), pa.int32()),
+                "simhash": pa.array(hs4, pa.uint64()),
             }
         )
 

@@ -321,3 +321,32 @@ def pii_scrub_batch(batch: pa.Table) -> pa.Table:
             "scrubbed_text": scrubbed,
         }
     )
+
+
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """Canonical text normalization (the pass run before hashing/dedup so
+    byte-level encoding variants of the same prose collapse): Unicode NFC +
+    whitespace collapse + trim.
+
+    NFC runs through ``unicodedata.normalize`` per row — a single C call;
+    this build's ``pc.utf8_normalize`` is a no-op (pyarrow compiled without
+    utf8proc), verified at operator-authoring time against DuckDB's
+    nfc_normalize.  The whitespace pass is one vectorized RE2
+    ``replace_substring_regex`` + ``utf8_trim_whitespace``.  DuckDB oracle:
+    ``trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))``."""
+    import unicodedata
+
+    nfc = pa.array(
+        [
+            unicodedata.normalize("NFC", t) if t is not None else None
+            for t in batch.column("text").to_pylist()
+        ],
+        pa.string(),
+    )
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(nfc, r"\s+", " "))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "norm_text": norm,
+        }
+    )

@@ -992,3 +992,23 @@ def test_cross_corpus_dedup_is_anti_join(ray_session):
     walk(out._logical_plan.dag)
     assert "Join" in names
     assert "Aggregate" in names  # distinct reference digests, in-plan
+
+
+def test_normalize_text_batch(ray_session):
+    import pyarrow as pa
+
+    from fuzi_rd.functions.textstats import normalize_text_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["Café  x", "  a\t\nb  ", "", None], pa.string()
+            ),
+        }
+    )
+    out = normalize_text_batch(batch)
+    got = out.column("norm_text").to_pylist()
+    assert got[0] == "Café x"  # NFC composed + collapsed
+    assert got[1] == "a b"
+    assert got[2] == "" and got[3] is None
