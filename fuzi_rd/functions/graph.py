@@ -29,9 +29,14 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fuzi_rd.functions.dedup import _compact, _rename, _semi_join_partitions
+from fuzi_rd.functions.dedup import (
+    _compact,
+    _rename,
+    _semi_join_partitions,
+    connected_components_min_label as connected_components,
+)
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "connected_components"]
 
 
 def pagerank(
