@@ -133,8 +133,13 @@ class _Reader:
             if c in _WS or c in _DELIM:
                 break
             if c == 0x23 and self.pos + 2 < n:  # '#xx' escape
-                out += bytes.fromhex(buf[self.pos + 1 : self.pos + 3].decode("ascii", "replace"))
-                self.pos += 3
+                hexpair = buf[self.pos + 1 : self.pos + 3]
+                try:
+                    out += bytes.fromhex(hexpair.decode("ascii", "replace"))
+                    self.pos += 3
+                except ValueError:  # '#' not followed by 2 hex digits: literal
+                    out.append(c)
+                    self.pos += 1
             else:
                 out.append(c)
                 self.pos += 1

@@ -13,7 +13,7 @@ from __future__ import annotations
 import zlib
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from fuzi_rd.pdf import PdfError, parse_pdf, pdf_text
@@ -174,6 +174,11 @@ def test_fuzz_random_bytes_never_hang(blob):
 
 @given(st.integers(0, 60), st.integers(0, 2000), st.integers(0, 255))
 @settings(max_examples=200, deadline=None)
+@example(
+    seq=0,  # or any other generated value
+    pos=27,
+    val=35,
+).via('discovered failure')
 def test_fuzz_bitflip_valid_pdf(seq, pos, val):
     # single-byte corruption of a valid PDF: parse or clean PdfError
     base = make_pdf("some body text\nsecond line", seq % 24)
