@@ -159,6 +159,58 @@ def _q_cross_corpus_keep(sf_dir: str):
     return cross_corpus_dedup_keep(ds, ref).select_columns(["doc_id"])
 
 
+def _q_bloom_xcorpus_keep(sf_dir: str):
+    """The Bloom-prefiltered form of cross_corpus_keep — EXACTLY the same
+    output (same oracle), but the reference corpus is reduced to one
+    broadcast bitmap and only bloom-positive candidates enter the
+    anti-join exchange.  This is the 100 TB shape: definitely-new pages
+    never leave their map task."""
+    from fuzi_rd.functions.dedup import bloom_cross_corpus_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _every_third(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    ref = ds.map_batches(_every_third, batch_format="pyarrow")
+    return bloom_cross_corpus_keep(ds, ref).select_columns(["doc_id"])
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary heavy hitters: global term frequencies with a
+    per-batch value_counts combiner (only (token, partial) pairs shuffle),
+    then top-100 with a deterministic freq-desc/token-asc tiebreak."""
+    from fuzi_rd.functions.vocab import vocab_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return vocab_topk(ds, k=100)
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact document-length quantiles via a distributed histogram
+    reduction (only the bounded (distinct-length, count) table reaches the
+    driver); matches DuckDB quantile_disc rank semantics."""
+    from fuzi_rd.functions.vocab import length_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return length_quantiles(ds)
+
+
+def _q_dup_spans(sf_dir: str):
+    """Substring-level dedup: every (doc_id, tok_start) whose 10-token
+    window also occurs in another document.  Windows reduce to fixed-width
+    rolling double fingerprints in map_batches; only 32-byte rows shuffle —
+    window text never crosses the wire."""
+    from fuzi_rd.functions.spans import duplicate_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(ds, w=10, max_bucket=None)
+
+
 def _q_quality_keep(sf_dir: str):
     """Filter form of the quality gate: only documents passing the integer
     thresholds survive."""
@@ -1463,6 +1515,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_keep": _q_dedup_keep,
         "cross_corpus_keep": _q_cross_corpus_keep,
+        "bloom_xcorpus_keep": _q_bloom_xcorpus_keep,
+        "vocab_topk": _q_vocab_topk,
+        "length_quantiles": _q_length_quantiles,
+        "dup_spans": _q_dup_spans,
         "quality_keep": _q_quality_keep,
         "lang_counts": _q_lang_counts,
         "events_rollup": _q_events_rollup,
@@ -1574,6 +1630,51 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM documents r
               WHERE r.doc_id % 3 = 0
                 AND coalesce(r.text, '') = coalesce(d.text, '')
+            )
+        """,
+        "bloom_xcorpus_keep": """
+            SELECT doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.doc_id % 3 = 0
+                AND coalesce(r.text, '') = coalesce(d.text, '')
+            )
+        """,
+        "vocab_topk": """
+            SELECT token, count(*) AS freq FROM (
+              SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ) t WHERE token <> ''
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 100
+        """,
+        "length_quantiles": """
+            SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]::DOUBLE[]) AS q,
+                   unnest(quantile_disc(length(text),
+                                        [0.1,0.25,0.5,0.75,0.9,0.99])) AS n_chars
+            FROM documents
+        """,
+        "dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ts, unnest(range(1, len(ts) - 8)) AS i
+              FROM toks WHERE len(ts) >= 10
+            ),
+            wins AS (
+              SELECT doc_id, i - 1 AS tok_start,
+                     array_to_string(ts[i : i + 9], ' ') AS win
+              FROM idx
+            )
+            SELECT doc_id, tok_start FROM wins
+            WHERE win IN (
+              SELECT win FROM wins GROUP BY win
+              HAVING count(DISTINCT doc_id) >= 2
             )
         """,
         "quality_keep": r"""

@@ -24,6 +24,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # 64 independent-ish hash functions via (a*x+b) mod p over 64-bit space
 _MERSENNE = (1 << 61) - 1
@@ -150,6 +151,170 @@ def cross_corpus_dedup_keep(
     return kept.map_batches(
         lambda b: b.drop_columns([_XHASH]), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered cross-corpus dedup
+#
+# The anti-join above shuffles EVERY new-crawl document (text and all) into
+# the join exchange even though, in production, the overwhelming majority of
+# new documents are not in the reference corpus.  The Bloom form broadcasts
+# a fixed-size bit array built from the reference digests (one ray.put, read
+# by every probe task), filters each batch locally, and sends ONLY the
+# bloom-positive rows (true duplicates + ~2^-n_hashes false positives)
+# through the exact anti-join confirm — so the all-to-all exchange carries
+# a small fraction of the crawl while the result stays EXACTLY equal to
+# the plain anti-join (the confirm removes the false positives).
+
+DEFAULT_BLOOM_BITS = 1 << 22  # 4M bits = 512 KiB; ~350k keys at 12 bits/key
+DEFAULT_BLOOM_HASHES = 7
+
+
+def _bloom_h1h2(texts, out_h1: np.ndarray, out_h2: np.ndarray) -> None:
+    """Split each row's md5 digest into two uint64s (the double-hashing
+    base): position_i = (h1 + i*h2) mod n_bits."""
+    for j, t in enumerate(texts):
+        d = hashlib.md5((t or "").encode("utf-8")).digest()
+        out_h1[j] = int.from_bytes(d[:8], "little")
+        out_h2[j] = int.from_bytes(d[8:16], "little") | 1  # odd -> full cycle
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, n_bits: int, n_hashes: int):
+    """(rows, n_hashes) bit positions via double hashing (Kirsch-Mitzenmacher)."""
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def bloom_build(ref_ds, text_col: str = "text", n_bits: int = DEFAULT_BLOOM_BITS,
+                n_hashes: int = DEFAULT_BLOOM_HASHES) -> np.ndarray:
+    """One streaming pass over the reference corpus producing a Bloom bit
+    array (uint8 words, little-endian bit order) of its text digests.
+
+    Scale shape: the reduction runs inside Ray Data's aggregate (per-block
+    accumulate + tree merge of fixed-size ``n_bits/8``-byte accumulators);
+    the driver receives exactly one bitmap, never the keys.  Size ``n_bits``
+    to ~10-12 bits per expected distinct reference document (1 GiB of bitmap
+    covers ~700M keys at 1% false-positive rate with 7 hashes)."""
+    from ray.data.aggregate import AggregateFn
+
+    n_words = n_bits // 8
+
+    def _acc(bitmap: np.ndarray, block) -> np.ndarray:
+        texts = block.column(text_col).to_pylist()
+        h1 = np.empty(len(texts), dtype=np.uint64)
+        h2 = np.empty(len(texts), dtype=np.uint64)
+        _bloom_h1h2(texts, h1, h2)
+        pos = _bloom_positions(h1, h2, n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bitmap, (pos >> 3).astype(np.int64), np.uint8(1) << (pos & 7).astype(np.uint8))
+        return bitmap
+
+    agg = AggregateFn(
+        init=lambda _k: np.zeros(n_words, dtype=np.uint8),
+        merge=lambda a, b: np.bitwise_or(a, b),
+        accumulate_block=_acc,
+        name="bloom",
+    )
+    result = ref_ds.aggregate(agg)
+    if not result or result.get("bloom") is None:  # empty reference corpus
+        return np.zeros(n_words, dtype=np.uint8)
+    return result["bloom"]
+
+
+class BloomProbe:
+    """Actor-pool stage: appends a boolean ``hit`` column — True when the
+    row's text digest MIGHT be in the reference bloom (needs exact confirm),
+    False when it is DEFINITELY absent.  The bitmap is fetched from the
+    object store once per actor (zero-copy read of the ray.put'd array)."""
+
+    def __init__(self, bitmap_ref, n_bits: int, n_hashes: int, text_col: str):
+        import ray
+
+        self.bitmap = ray.get(bitmap_ref)
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        h1 = np.empty(len(texts), dtype=np.uint64)
+        h2 = np.empty(len(texts), dtype=np.uint64)
+        _bloom_h1h2(texts, h1, h2)
+        pos = _bloom_positions(h1, h2, self.n_bits, self.n_hashes)
+        bits = self.bitmap[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)
+        hit = (bits & 1).all(axis=1)
+        return batch.append_column("__bloom_hit", pa.array(hit))
+
+
+def bloom_cross_corpus_keep(
+    new_ds,
+    ref_ds,
+    text_col: str = "text",
+    n_bits: int = DEFAULT_BLOOM_BITS,
+    n_hashes: int = DEFAULT_BLOOM_HASHES,
+    num_partitions: int | None = None,
+    concurrency: int | tuple | None = None,
+):
+    """Exact cross-corpus dedup with a broadcast Bloom prefilter: result is
+    row-identical to :func:`cross_corpus_dedup_keep`, but only the
+    bloom-positive sliver of ``new_ds`` enters the anti-join exchange.
+
+    Scale shape at 100 TB: the reference corpus reduces to ONE fixed-size
+    bitmap (tree-merged inside ``Dataset.aggregate``), broadcast via a
+    single ``ray.put``; every probe task reads it zero-copy from the local
+    object store.  Bloom-negative documents (the vast majority of a new
+    crawl) never leave their map task; bloom-positive candidates — true
+    duplicates plus ~(1/2)^n_hashes false positives — go through the same
+    hash-partitioned ``left_anti`` digest join as the plain operator, which
+    removes the false positives and makes the output exact.
+
+    The two output branches (bloom-negative pass-through; bloom-positive
+    confirm join) are separate consumers of the probe stage, and Ray Data
+    re-executes the probe per consumer — i.e. the new crawl is read+hashed
+    twice in exchange for shuffling only the candidate sliver.  The probe
+    is a TASK stage (not an actor pool): mixing an actor-pool stage with a
+    hash join in one union plan can starve a small session (see the plan
+    notes on ``_compact``), and the per-task ``ray.get`` of the broadcast
+    bitmap is a zero-copy local object-store read."""
+    import ray
+
+    bitmap = bloom_build(ref_ds, text_col, n_bits, n_hashes)
+    if not bitmap.any():
+        # empty reference corpus: nothing can be a duplicate, and the
+        # downstream anti-join would see only schema-less empty blocks
+        # (Ray's Aggregate emits them for empty partitions) — short-circuit.
+        return new_ds
+    bitmap_ref = ray.put(bitmap)
+    del concurrency  # probe runs as a task pool; kept for API compat
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bm = _ray.get(bitmap_ref)
+        texts = batch.column(text_col).to_pylist()
+        h1 = np.empty(len(texts), dtype=np.uint64)
+        h2 = np.empty(len(texts), dtype=np.uint64)
+        _bloom_h1h2(texts, h1, h2)
+        pos = _bloom_positions(h1, h2, n_bits, n_hashes)
+        bits = bm[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)
+        hit = (bits & 1).all(axis=1) if len(texts) else np.zeros(0, dtype=bool)
+        return batch.append_column("__bloom_hit", pa.array(hit))
+
+    def _negatives(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(b.column("__bloom_hit"))).drop_columns(["__bloom_hit"])
+
+    def _positives(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("__bloom_hit")).drop_columns(["__bloom_hit"])
+
+    definitely_new = new_ds.map_batches(_probe, batch_format="pyarrow").map_batches(
+        _negatives, batch_format="pyarrow"
+    )
+    candidates = new_ds.map_batches(_probe, batch_format="pyarrow").map_batches(
+        _positives, batch_format="pyarrow"
+    )
+    confirmed_new = cross_corpus_dedup_keep(
+        candidates, ref_ds, text_col, num_partitions
+    )
+    return definitely_new.union(confirmed_new)
 
 
 def exact_dedup_keep(ds, num_partitions: int | None = None):

@@ -1,0 +1,146 @@
+"""Vocabulary / distribution operators (fuzi_rd.functions.vocab) and the
+Bloom-prefiltered cross-corpus dedup (fuzi_rd.functions.dedup)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzi_rd.functions import dedup
+from fuzi_rd.functions.vocab import (
+    length_quantiles,
+    token_counts,
+    vocab_topk,
+)
+
+
+def _docs_table(texts, start_id: int = 0) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(range(start_id, start_id + len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counts / top-k
+
+
+def test_token_counts_word_count(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(
+        _docs_table(["the cat sat", "THE the Cat!", "dog 42 dog-house"])
+    )
+    rows = {r["token"]: r["freq"] for r in token_counts(ds).take_all()}
+    assert rows == {"the": 3, "cat": 2, "sat": 1, "dog": 2, "house": 1}
+
+
+def test_vocab_topk_deterministic_tiebreak(ray_session):
+    import ray
+
+    # freq ties broken by token asc: 'aa' and 'bb' both x2, 'zz' x3
+    ds = ray.data.from_arrow(_docs_table(["zz aa bb", "zz aa bb", "zz"]))
+    out = vocab_topk(ds, k=2).take_all()
+    assert [(r["token"], r["freq"]) for r in out] == [("zz", 3), ("aa", 2)]
+
+
+def test_token_counts_nulls_and_empty(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["", None, "  ok  "], pa.string()),
+            }
+        )
+    )
+    rows = {r["token"]: r["freq"] for r in token_counts(ds).take_all()}
+    assert rows == {"ok": 1}
+
+
+# ---------------------------------------------------------------------------
+# length quantiles
+
+
+def test_length_quantiles_matches_duckdb_disc(ray_session):
+    import duckdb
+    import ray
+
+    texts = ["x" * n for n in [5, 1, 9, 3, 7, 7, 2, 11, 4, 6]]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    got = length_quantiles(ds, qs=qs)
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT unnest(quantile_disc(n, [0.1,0.25,0.5,0.75,0.9,0.99])) "
+        "FROM (SELECT unnest(?) AS n)",
+        [[len(t) for t in texts]],
+    ).fetchall()
+    con.close()
+    assert got.column("n_chars").to_pylist() == [w[0] for w in want]
+    assert got.column("q").to_pylist() == list(qs)
+
+
+def test_length_quantiles_empty(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_docs_table([]))
+    out = length_quantiles(ds)
+    assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered cross-corpus dedup
+
+
+def test_bloom_build_and_probe_roundtrip(ray_session):
+    import ray
+
+    ref_texts = [f"ref doc {i}" for i in range(200)]
+    bitmap = dedup.bloom_build(
+        ray.data.from_arrow(_docs_table(ref_texts)), n_bits=1 << 16
+    )
+    assert bitmap.dtype == np.uint8 and len(bitmap) == (1 << 16) // 8
+    # every reference key must probe positive (no false negatives, ever)
+    h1 = np.empty(len(ref_texts), dtype=np.uint64)
+    h2 = np.empty(len(ref_texts), dtype=np.uint64)
+    dedup._bloom_h1h2(ref_texts, h1, h2)
+    pos = dedup._bloom_positions(h1, h2, 1 << 16, dedup.DEFAULT_BLOOM_HASHES)
+    bits = bitmap[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)
+    assert (bits & 1).all()
+
+
+def test_bloom_cross_corpus_keep_exact(ray_session):
+    """Output must be row-identical to the plain anti-join operator,
+    including any bloom false positives being confirmed away."""
+    import ray
+
+    new_texts = [f"doc {i}" for i in range(300)]
+    ref_texts = [f"doc {i}" for i in range(0, 300, 3)] + ["elsewhere"]
+    new = ray.data.from_arrow(_docs_table(new_texts))
+    ref = ray.data.from_arrow(_docs_table(ref_texts, start_id=1000))
+    # tiny bitmap forces a real false-positive rate -> exercises the confirm
+    out = dedup.bloom_cross_corpus_keep(new, ref, n_bits=1 << 10)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    want = sorted(
+        r["doc_id"]
+        for r in dedup.cross_corpus_dedup_keep(
+            ray.data.from_arrow(_docs_table(new_texts)),
+            ray.data.from_arrow(_docs_table(ref_texts, start_id=1000)),
+        ).take_all()
+    )
+    assert got == want
+    assert got == [i for i in range(300) if i % 3 != 0]
+
+
+def test_bloom_cross_corpus_keep_empty_ref(ray_session):
+    import ray
+
+    new = ray.data.from_arrow(_docs_table(["a", "b"]))
+    ref = ray.data.from_arrow(_docs_table([]))
+    out = dedup.bloom_cross_corpus_keep(new, ref, n_bits=1 << 10)
+    assert sorted(r["text"] for r in out.take_all()) == ["a", "b"]
