@@ -211,6 +211,27 @@ def _q_dup_spans(sf_dir: str):
     return duplicate_spans(ds, w=10, max_bucket=None)
 
 
+def _q_doc_split(sf_dir: str):
+    """Deterministic train/val/test assignment (~90/5/5 by md5 first byte):
+    a pure function of doc_id, so no document can migrate between splits
+    across runs, engines, or re-shards.  One map_batches, no shuffle."""
+    from fuzi_rd.functions.sampling import split_assign
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return split_assign(ds)
+
+
+def _q_dup_span_scrub(sf_dir: str):
+    """Removal form of dup_spans: tokens covered by any cross-document
+    10-token window are dropped from EVERY document (C4-style boilerplate
+    removal); output is (doc_id, clean_text) for all documents.  The span
+    list joins back by doc_id — fixed-width rows on the exchange."""
+    from fuzi_rd.functions.spans import duplicate_span_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_span_scrub(ds, w=10)
+
+
 def _q_quality_keep(sf_dir: str):
     """Filter form of the quality gate: only documents passing the integer
     thresholds survive."""
@@ -967,6 +988,45 @@ def _q_page_links(sf_dir: str):
     return extract_links_dataset(ds, batch_size=16)
 
 
+def _meta_pages_dir_for(sf_dir: str) -> str:
+    """Deterministic metadata-rich page fixture (head metadata: description,
+    canonical mirror groups, og: fields, robots directives)."""
+    from fuzi_rd.sources.pages import write_meta_pages_parquet
+
+    tier = pathlib.Path(sf_dir).name or "sf0.01"
+    n = max(_PAGE_ROWS.get(tier, 1000) // 2, 200)
+    out = f"/tmp/fuzi_rd_meta_pages_{tier}_{n}"
+    write_meta_pages_parquet(out, n, rows_per_file=max(n // 8, 50))
+    return out
+
+
+def _q_page_metadata(sf_dir: str):
+    """Head-metadata extraction: title, meta description, canonical URL,
+    lang, robots directives, og: fields — one actor-pool parse + bounded
+    arena scan per page, one fixed-width row out, no shuffle (rows-only;
+    HTML parse has no SQL)."""
+    import ray
+
+    from fuzi_rd.stages.metadata import extract_metadata_dataset
+
+    pages = _meta_pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return extract_metadata_dataset(ds, batch_size=16)
+
+
+def _q_canonical_keep(sf_dir: str):
+    """URL-level mirror dedup BEFORE content hashing: one winner per
+    canonical URL (min url), winners semi-joined back onto the page table —
+    head metadata only, document text never compared (rows-only)."""
+    import ray
+
+    from fuzi_rd.stages.metadata import canonical_dedup_keep
+
+    pages = _meta_pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return canonical_dedup_keep(ds).select_columns(["url"])
+
+
 def _q_link_graph(sf_dir: str):
     """Domain-level webgraph rollup: the page outlink edge list reduced to
     (src_domain, dst_domain, n_links) — vectorized host/domain extraction,
@@ -984,6 +1044,20 @@ def _q_link_graph(sf_dir: str):
         return b.rename_columns(["src_domain", "dst_domain", "n_links"])
 
     return graph.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_anchor_rollup(sf_dir: str):
+    """Anchor-text rollup: what the web calls each destination domain —
+    (dst_domain, anchor, n_links) for anchors used ≥2 times, normalized
+    inside map_batches, one groupby on the capped (domain, anchor) pair
+    (rows-only; HTML parse)."""
+    import ray
+
+    from fuzi_rd.stages.links import anchor_text_rollup, extract_links_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return anchor_text_rollup(extract_links_dataset(ds, batch_size=16))
 
 
 def _q_domain_pagerank(sf_dir: str):
@@ -1519,6 +1593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "length_quantiles": _q_length_quantiles,
         "dup_spans": _q_dup_spans,
+        "dup_span_scrub": _q_dup_span_scrub,
+        "doc_split": _q_doc_split,
         "quality_keep": _q_quality_keep,
         "lang_counts": _q_lang_counts,
         "events_rollup": _q_events_rollup,
@@ -1565,7 +1641,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "extract_pages": _q_extract_pages,
         "page_links": _q_page_links,
+        "page_metadata": _q_page_metadata,
+        "canonical_keep": _q_canonical_keep,
         "link_graph": _q_link_graph,
+        "anchor_rollup": _q_anchor_rollup,
         "domain_pagerank": _q_domain_pagerank,
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
@@ -1676,6 +1755,62 @@ def oracle_sql() -> dict[str, str]:
               SELECT win FROM wins GROUP BY win
               HAVING count(DISTINCT doc_id) >= 2
             )
+        """,
+        "dup_span_scrub": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ts, unnest(range(1, len(ts) - 8)) AS i
+              FROM toks WHERE len(ts) >= 10
+            ),
+            wins AS (
+              SELECT doc_id, i - 1 AS tok_start,
+                     array_to_string(ts[i : i + 9], ' ') AS win
+              FROM idx
+            ),
+            dups AS (
+              SELECT doc_id, tok_start FROM wins
+              WHERE win IN (
+                SELECT win FROM wins GROUP BY win
+                HAVING count(DISTINCT doc_id) >= 2
+              )
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id,
+                     unnest(range(tok_start, tok_start + 10)) AS ti
+              FROM dups
+            ),
+            tokpos AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(0, len(ts))) AS ti
+              FROM toks
+            ),
+            clean AS (
+              SELECT t.doc_id,
+                     string_agg(t.tok, ' ' ORDER BY t.ti) AS clean_text
+              FROM tokpos t
+              LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.ti = c.ti
+              WHERE c.ti IS NULL
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN clean c USING (doc_id)
+        """,
+        "doc_split": """
+            -- md5 first byte thresholds 230 (0xe6) and 243 (0xf3): the two
+            -- leading lowercase hex chars compare lexicographically ==
+            -- numerically (same rule as doc_sample)
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "quality_keep": r"""
             WITH s AS (

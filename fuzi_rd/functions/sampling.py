@@ -30,7 +30,7 @@ import hashlib
 
 import pyarrow as pa
 
-__all__ = ["stratified_sample_keep"]
+__all__ = ["stratified_sample_keep", "split_assign"]
 
 
 def stratified_sample_keep(
@@ -63,3 +63,35 @@ def stratified_sample_keep(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_assign(
+    ds,
+    id_col: str = "doc_id",
+    t_train: int = 230,
+    t_val: int = 243,
+    col: str = "split",
+):
+    """Deterministic train/val/test assignment: append a ``split`` column
+    keyed on ``md5(id)``'s first byte — ``train`` when ``byte < t_train``,
+    ``val`` when ``byte < t_val``, else ``test`` (defaults ≈ 90/5/5).
+
+    The same no-RNG rule as ``doc_sample``: assignment is a pure function
+    of the row id, so it is stable across runs, engines, batch sizes,
+    cluster shapes and re-shards — a document can never migrate between
+    train and test when the corpus is re-processed, which is the property
+    that matters for contamination control.  Embarrassingly parallel: one
+    ``map_batches``, no shuffle, no driver state."""
+    if not 0 <= t_train <= t_val <= 256:
+        raise ValueError("need 0 <= t_train <= t_val <= 256")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labels = []
+        for i in batch.column(id_col).to_pylist():
+            b = hashlib.md5(str(i).encode()).digest()[0]
+            labels.append(
+                "train" if b < t_train else ("val" if b < t_val else "test")
+            )
+        return batch.append_column(col, pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

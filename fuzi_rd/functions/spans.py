@@ -154,3 +154,102 @@ def duplicate_spans(
         )
 
     return fps.groupby("fp").map_groups(_dup_group, batch_format="pyarrow")
+
+
+def duplicate_span_scrub(
+    ds,
+    w: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+):
+    """Remove cross-document duplicated passages from every document:
+    tokens covered by ANY w-token window that also occurs in another
+    document are dropped, and the survivors are re-joined with single
+    spaces — the boilerplate-removal form of :func:`duplicate_spans`
+    (C4-style: shared passages are treated as boilerplate and removed
+    from every occurrence).
+
+    Output: (doc_id, clean_text) for EVERY input document (documents with
+    no duplicated window keep all their tokens; note the text is
+    normalized to lowercase single-space-joined tokens — the same
+    tokenization the span detection used, so offsets line up).
+
+    Scale shape: the span list (fixed-width rows) hash-joins back onto the
+    documents by doc_id — the only exchange beyond duplicate_spans' own —
+    and interval coverage is computed per row inside ``map_batches`` via a
+    vectorized difference array.  Span starts are packed per doc into a
+    binary column before the join (acero rejects list payloads)."""
+    spans = duplicate_spans(
+        ds, w=w, min_docs=min_docs, max_bucket=None,
+        text_col=text_col, doc_col=doc_col,
+    )
+
+    _packed_schema = pa.schema(
+        [("doc_id", pa.int64()), ("starts", pa.large_binary())]
+    )
+
+    def _pack(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _packed_schema.empty_table()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.sort(group.column("tok_start").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(ids[0])], pa.int64()),
+                "starts": pa.array([starts.astype(np.int64).tobytes()], pa.large_binary()),
+            }
+        )
+
+    from fuzi_rd.functions.dedup import _compact
+
+    # _compact: the groupby's empty hash partitions emit schema-less blocks
+    # that poison the join partitioner; the packed span table is tiny
+    # (duplicated docs only), so re-bundling its block refs is cheap.
+    packed = _compact(
+        spans.groupby("doc_id").map_groups(_pack, batch_format="pyarrow")
+    )
+    if packed.count() == 0:
+        # no duplicated windows anywhere: an all-empty right side would
+        # feed schema-less blocks into the join — scrub degenerates to
+        # the tokenize-and-rejoin normalization.
+        def _identity(batch: pa.Table) -> pa.Table:
+            ids = batch.column(doc_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out = [" ".join((t or "").lower().split()) for t in texts]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "clean_text": pa.array(out, pa.large_string()),
+                }
+            )
+
+        return ds.map_batches(_identity, batch_format="pyarrow")
+
+    joined = ds.join(packed, join_type="left_outer", num_partitions=16, on=(doc_col,))
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column(doc_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        blobs = batch.column("starts").to_pylist()
+        out = []
+        for text, blob in zip(texts, blobs):
+            toks = (text or "").lower().split()
+            if not blob:
+                out.append(" ".join(toks))
+                continue
+            starts = np.frombuffer(blob, dtype=np.int64)
+            # union of [s, s+w) via a difference array — O(n + spans)
+            diff = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + w, len(toks)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            out.append(" ".join(t for t, c in zip(toks, covered) if not c))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(out, pa.large_string()),
+            }
+        )
+
+    return joined.map_batches(_scrub, batch_format="pyarrow")

@@ -262,3 +262,102 @@ def skew_pages_table(n_rows: int, start: int = 0, huge_every: int = 1000) -> pa.
         },
         schema=_SCHEMA,
     )
+
+
+# -- metadata-rich corpus (head-metadata extraction fixtures) -----------------
+
+
+def meta_article_page(seq: int, lang: str) -> str:
+    """Article page with a full head-metadata block: meta description,
+    canonical link (every 4th page is a 'mirror' whose canonical points at
+    the seq - seq%4 primary), Open Graph fields, and a robots directive on
+    every 9th page.  Deterministic in seq."""
+    primary = seq - (seq % 4)
+    canonical = (
+        f'<link rel="canonical" href="https://fixtures.test/meta/{primary:08d}">'
+        if seq % 2 == 0
+        else ""
+    )
+    robots = (
+        '<meta name="robots" content="noindex, nofollow">'
+        if seq % 9 == 8
+        else ""
+    )
+    og = (
+        f'<meta property="og:title" content="OG article {seq}">\n'
+        f'<meta property="og:description" content="{_sentence(seq, 0, 0)}">\n'
+        f'<meta property="og:image" content="https://fixtures.test/img/{seq % 50}.jpg">\n'
+        f'<meta property="og:type" content="article">'
+    )
+    n_paras = 2 + seq % 4
+    paras = "\n".join(
+        f'<p class="body-text">{_paragraph(seq, j)}</p>' for j in range(n_paras)
+    )
+    return f"""<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<meta charset="utf-8">
+<title>Meta fixture {seq}</title>
+<meta name="description" content="{_sentence(seq, 1, 0)}">
+{canonical}
+{robots}
+{og}
+</head>
+<body class="article-page">
+{_nav(seq)}
+<main id="content"><article>{paras}</article></main>
+{_footer(seq)}
+</body>
+</html>"""
+
+
+def meta_pages_table(n_rows: int, start: int = 0) -> pa.Table:
+    """(url, warc_ts, html, text, lang) rows with metadata-rich heads.
+    Every 4-row block {4k..4k+3} forms a canonical mirror group whose even
+    members declare the 4k page as canonical."""
+    rows = []
+    for seq in range(start, start + n_rows):
+        lang = _LANGS[seq % len(_LANGS)]
+        url = f"https://fixtures.test/meta/{seq:08d}"
+        ts = BASE_TS + datetime.timedelta(seconds=seq)
+        rows.append(
+            (
+                url,
+                ts.replace(tzinfo=None),
+                meta_article_page(seq, lang).encode("utf-8"),
+                "",
+                lang,
+            )
+        )
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+        },
+        schema=_SCHEMA,
+    )
+
+
+def write_meta_pages_parquet(
+    out_dir: str, n_rows: int, rows_per_file: int = 200
+) -> list[str]:
+    """Shard-per-file writer for the metadata-rich fixture table."""
+    import pyarrow.parquet as pq
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = []
+    start = 0
+    shard = 0
+    while start < n_rows:
+        n = min(rows_per_file, n_rows - start)
+        path = out / f"pages-{shard:05d}.parquet"
+        if not path.exists():
+            pq.write_table(meta_pages_table(n, start=start), path, compression="zstd")
+        paths.append(str(path))
+        start += n
+        shard += 1
+    return paths

@@ -173,3 +173,60 @@ def link_graph(links_ds, drop_nofollow: bool = True, drop_self: bool = True):
 
     edges = links_ds.map_batches(to_domains, batch_format="pyarrow")
     return edges.groupby(["src_domain", "dst_domain"]).count()
+
+
+def anchor_text_rollup(links_ds, min_count: int = 2, max_anchor_chars: int = 80):
+    """What the web calls each destination: (dst_domain, anchor, n_links)
+    for every anchor string used at least ``min_count`` times toward a
+    domain — the classic anchor-text signal for search relevance and
+    SEO-spam detection (a domain whose inbound anchors are all 'cheap
+    pills' tells you something its own pages don't).
+
+    Scale shape: anchors are normalized (lowercase, whitespace-collapsed,
+    length-capped) inside ``map_batches``, then ONE groupby on the
+    (domain, anchor) pair; the exchange carries short capped strings.
+    ``min_count`` prunes the long tail at the output, not the shuffle —
+    at crawl scale add a per-batch pre-count combiner if the tail
+    dominates (same pattern as ``token_counts``)."""
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.urltools import extract_hosts, registered_domains
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        dst = registered_domains(extract_hosts(batch.column("dst_url")))
+        anchor = pc.utf8_slice_codeunits(
+            pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(
+                    pc.utf8_lower(batch.column("anchor"))
+                ),
+                r"\s+",
+                " ",
+            ),
+            0,
+            max_anchor_chars,
+        )
+        # anchors arrive large_string; the rollup key is a capped short
+        # string — cast so empty and non-empty blocks agree on schema
+        out = pa.table(
+            {"dst_domain": dst, "anchor": pc.cast(anchor, pa.string())}
+        )
+        return out.filter(pc.not_equal(out.column("anchor"), ""))
+
+    counts = links_ds.map_batches(normalize, batch_format="pyarrow").groupby(
+        ["dst_domain", "anchor"]
+    ).count()
+
+    def finalize(b: pa.Table) -> pa.Table:
+        want = pa.schema(
+            [
+                ("dst_domain", pa.string()),
+                ("anchor", pa.string()),
+                ("n_links", pa.int64()),
+            ]
+        )
+        if b.num_columns != 3:  # schema-less empty aggregate block
+            return want.empty_table()
+        b = b.rename_columns(["dst_domain", "anchor", "n_links"])
+        return b.filter(pc.greater_equal(b.column("n_links"), min_count))
+
+    return counts.map_batches(finalize, batch_format="pyarrow")

@@ -291,6 +291,41 @@ def test_stratified_sample_keep(ray_session):
     assert 0 < len(expect) < 3 * cap
 
 
+def test_split_assign_deterministic_and_exhaustive(ray_session):
+    """Every row gets exactly one of train/val/test; assignment is a pure
+    function of doc_id (re-running and re-sharding cannot move a doc
+    between splits), and proportions track the byte thresholds."""
+    import hashlib
+
+    import ray
+
+    from fuzi_rd.functions.sampling import split_assign
+
+    n = 2000
+    rows = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    out = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(ray.data.from_arrow(rows)).take_all()
+    }
+    assert len(out) == n
+    for i in range(n):
+        b = hashlib.md5(str(i).encode()).digest()[0]
+        want = "train" if b < 230 else ("val" if b < 243 else "test")
+        assert out[i] == want, i
+    counts = {s: sum(1 for v in out.values() if v == s) for s in ("train", "val", "test")}
+    assert counts["train"] > 0.85 * n
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_split_assign_bad_thresholds():
+    import pytest
+
+    from fuzi_rd.functions.sampling import split_assign
+
+    with pytest.raises(ValueError):
+        split_assign(None, t_train=250, t_val=240)
+
+
 def test_pii_scrub_batch():
     """Redaction: emails and URLs become placeholder tokens; everything
     else is untouched (vectorized regexp_replace — oracle-checked too)."""

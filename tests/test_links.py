@@ -115,3 +115,37 @@ def test_extract_links_stage_and_graph(ray_session):
         ("a.com", "c.org"): 1,
         ("b.co.uk", "a.com"): 1,
     }
+
+
+def test_anchor_text_rollup(ray_session):
+    import ray
+
+    from fuzi_rd.stages.links import ExtractLinks, anchor_text_rollup
+
+    def page(links):
+        body = "".join(f'<a href="{h}">{a}</a>' for h, a in links)
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows = pa.table(
+        {
+            "url": pa.array(
+                [f"http://src{i}.com/p" for i in range(3)], pa.string()
+            ),
+            "html": pa.array(
+                [
+                    page([("http://t.com/a", "Cheap  Pills"), ("http://t.com/b", "home")]),
+                    page([("http://t.com/c", "cheap pills"), ("http://u.org/", "Docs")]),
+                    page([("http://t.com/d", "CHEAP PILLS "), ("http://u.org/x", "docs")]),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+    links = ds.map_batches(ExtractLinks, batch_format="pyarrow", concurrency=1)
+    out = {
+        (r["dst_domain"], r["anchor"]): r["n_links"]
+        for r in anchor_text_rollup(links, min_count=2).take_all()
+    }
+    # normalization folds case/whitespace; min_count=2 drops 'home'
+    assert out == {("t.com", "cheap pills"): 3, ("u.org", "docs"): 2}

@@ -6,7 +6,12 @@ import numpy as np
 import pyarrow as pa
 
 from fuzi_rd.functions.dedup import _token_hashes
-from fuzi_rd.functions.spans import _B1, _rolling_fps, duplicate_spans
+from fuzi_rd.functions.spans import (
+    _B1,
+    _rolling_fps,
+    duplicate_span_scrub,
+    duplicate_spans,
+)
 
 
 def _docs(texts) -> pa.Table:
@@ -86,3 +91,55 @@ def test_duplicate_spans_cap_deterministic(ray_session):
     ).take_all()
     got = sorted((r["doc_id"], r["tok_start"]) for r in out)
     assert got == [(0, 0), (1, 0), (2, 0), (3, 0)]
+
+
+# ---------------------------------------------------------------------------
+# scrub (removal) form
+
+
+def test_duplicate_span_scrub_removes_shared_window(ray_session):
+    import ray
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = _docs(
+        [
+            f"lead in words {shared} tail one",
+            f"{shared} completely different ending here",
+            "no overlap at all in this document text",
+        ]
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_scrub(ray.data.from_arrow(docs), w=5).take_all()
+    }
+    assert out[0] == "lead in words tail one"
+    assert out[1] == "completely different ending here"
+    # untouched doc: tokens normalized (lowercase, single-space) but intact
+    assert out[2] == "no overlap at all in this document text"
+
+
+def test_duplicate_span_scrub_overlapping_windows_union(ray_session):
+    import ray
+
+    # docs share a 6-token run -> two overlapping 5-windows; the union of
+    # their coverage (all 6 tokens) must be removed, not double-counted
+    run = "p q r s t u"
+    docs = _docs([f"{run} xx", f"yy {run}"])
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_scrub(ray.data.from_arrow(docs), w=5).take_all()
+    }
+    assert out[0] == "xx"
+    assert out[1] == "yy"
+
+
+def test_duplicate_span_scrub_no_dups_short_circuit(ray_session):
+    import ray
+
+    docs = _docs(["Unique   Words here", "other text entirely", None])
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in duplicate_span_scrub(ray.data.from_arrow(docs), w=5).take_all()
+    }
+    # normalization only: lowercase, whitespace collapsed; null -> ''
+    assert out == {0: "unique words here", 1: "other text entirely", 2: ""}
