@@ -190,6 +190,30 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_topk(ds, k=100)
 
 
+def _q_token_df(sf_dir: str):
+    """Document frequency per token (the IDF half of TF-IDF): per-document
+    unique inside map_batches is the combiner — only (token, partial)
+    integers shuffle, never per-occurrence rows."""
+    from fuzi_rd.functions.vocab import token_df
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_df(ds)
+
+
+def _q_distinct_tokens(sf_dir: str):
+    """HyperLogLog distinct-token estimate: the whole corpus reduces to one
+    16 KiB register array (per-block accumulate + elementwise-max merge in
+    Dataset.aggregate); the driver never sees a key (rows-only; ~0.8%
+    standard error by construction, bound pinned by pytest)."""
+    import pyarrow as pa
+
+    from fuzi_rd.functions.vocab import approx_distinct
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    est = approx_distinct(ds, "text", split_tokens=True)
+    return pa.table({"approx_distinct_tokens": pa.array([est], pa.int64())})
+
+
 def _q_length_quantiles(sf_dir: str):
     """Exact document-length quantiles via a distributed histogram
     reduction (only the bounded (distinct-length, count) table reaches the
@@ -209,6 +233,42 @@ def _q_dup_spans(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return duplicate_spans(ds, w=10, max_bucket=None)
+
+
+def _q_crawl_diff(sf_dir: str):
+    """Snapshot diff between two crawls: added/removed/changed/same per
+    key.  Both sides reduce to (key, digest) in map_batches (text never
+    enters the exchange), then one full_outer hash join classifies every
+    URL.  Snapshots are derived deterministically from the documents
+    table: old = doc_id%3!=2, new = doc_id%3!=0 with ' v2' appended for
+    doc_id%5==0."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.diff import crawl_diff
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mk(drop_mod3, mutate: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            out = b.filter(pa.array(ids % 3 != drop_mod3))
+            text = pc.coalesce(out.column("text"), "")
+            if mutate:
+                ids2 = out.column("doc_id").to_numpy(zero_copy_only=False)
+                m5 = pa.array(ids2 % 5 == 0)
+                text = pc.if_else(
+                    m5, pc.binary_join_element_wise(text, " v2", ""), text
+                )
+            return pa.table({"doc_id": out.column("doc_id"), "text": text})
+
+        return _f
+
+    old = ds.map_batches(_mk(2, False), batch_format="pyarrow")
+    new = ds.map_batches(_mk(0, True), batch_format="pyarrow")
+    return crawl_diff(old, new, key_col="doc_id")
 
 
 def _q_doc_split(sf_dir: str):
@@ -687,6 +747,19 @@ def _q_events_hourly(sf_dir: str):
         )
 
     return out.map_batches(post, batch_format="pyarrow")
+
+
+def _q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows advancing every
+    15 minutes — each event row-expands to its 4 covering windows inside
+    map_batches (vectorized repeat+tile), then one groupby on the int64
+    window start.  Integer milli values keep the sum order-independent."""
+    from fuzi_rd.functions.windows import hopping_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return hopping_counts(
+        ds, size_us=3_600_000_000, step_us=900_000_000, value_col="value"
+    )
 
 
 def _q_user_sessions(sf_dir: str):
@@ -1591,10 +1664,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_keep": _q_cross_corpus_keep,
         "bloom_xcorpus_keep": _q_bloom_xcorpus_keep,
         "vocab_topk": _q_vocab_topk,
+        "token_df": _q_token_df,
+        "distinct_tokens": _q_distinct_tokens,
         "length_quantiles": _q_length_quantiles,
         "dup_spans": _q_dup_spans,
         "dup_span_scrub": _q_dup_span_scrub,
         "doc_split": _q_doc_split,
+        "crawl_diff": _q_crawl_diff,
         "quality_keep": _q_quality_keep,
         "lang_counts": _q_lang_counts,
         "events_rollup": _q_events_rollup,
@@ -1615,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "docs_top_longest": _q_docs_top_longest,
         "events_hourly": _q_events_hourly,
+        "events_hopping": _q_events_hopping,
         "user_sessions": _q_user_sessions,
         "purchase_attribution": _q_purchase_attribution,
         "value_bands": _q_value_bands,
@@ -1728,6 +1805,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY freq DESC, token ASC
             LIMIT 100
         """,
+        "token_df": """
+            SELECT token, count(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ) t WHERE token <> ''
+            GROUP BY token
+        """,
         "length_quantiles": """
             SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]::DOUBLE[]) AS q,
                    unnest(quantile_disc(length(text),
@@ -1799,6 +1884,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text
             FROM documents d LEFT JOIN clean c USING (doc_id)
+        """,
+        "crawl_diff": """
+            WITH old AS (
+              SELECT doc_id, coalesce(text, '') AS t
+              FROM documents WHERE doc_id % 3 <> 2
+            ),
+            new AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                       || CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END AS t
+              FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.t = n.t THEN 'same'
+                        ELSE 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         "doc_split": """
             -- md5 first byte thresholds 230 (0xe6) and 243 (0xf3): the two
@@ -2108,6 +2211,22 @@ def oracle_sql() -> dict[str, str]:
                        AS total_value_milli
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS t,
+                     CAST(round(value * 1000) AS BIGINT) AS vm
+              FROM events
+            ),
+            x AS (
+              SELECT ((t // 900000000) - u.i) * 900000000 AS window_start_us,
+                     vm
+              FROM e, unnest(range(0, 4)) AS u(i)
+            )
+            SELECT window_start_us,
+                   count(*) AS n_events,
+                   sum(vm) AS total_value_milli
+            FROM x GROUP BY 1
         """,
         "user_sessions": """
             WITH g AS (

@@ -154,6 +154,12 @@ def run_query_bench(sf_dir: str) -> dict:
         "orders_by_nation",
         "sim_topk",
         "lsh_topk",
+        "vocab_topk",
+        "dup_spans",
+        "bloom_xcorpus_keep",
+        "crawl_diff",
+        "events_hopping",
+        "page_metadata",
     ]
     times = {}
     for name in picked:

@@ -18,6 +18,7 @@ fixed-size reduction, not a dataset materialization.
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import numpy as np
@@ -79,6 +80,108 @@ def vocab_topk(ds, k: int = 100, text_col: str = "text"):
     return token_counts(ds, text_col).sort(
         ["freq", "token"], descending=[True, False]
     ).limit(k)
+
+
+def token_df(ds, text_col: str = "text", doc_col: str = "doc_id", min_docs: int = 1):
+    """Document frequency per token: (token, df) where df = number of
+    DISTINCT documents containing the token — the other half of TF-IDF
+    (pair with :func:`token_counts` for the TF side).
+
+    Combiner shape: each row is one document, so deduplicating tokens
+    WITHIN the row (one ``unique`` per document, vectorized over the
+    batch) makes every batch emit at most |doc vocabulary| rows per doc;
+    the groupby then sums plain integers — no distinct-aggregation state
+    crosses the exchange."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), TOKEN_SPLIT_PATTERN
+        )
+        # per-document unique: flatten each list through a set once
+        out: list[str] = []
+        for lst in toks.to_pylist():
+            out.extend({t for t in lst if t})
+        arr = pa.array(out, pa.string())
+        vc = arr.value_counts()
+        return pa.table({"token": vc.field(0), "cnt": vc.field(1)})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    summed = partials.groupby("token").sum("cnt")
+    renamed = summed.map_batches(
+        _rename_or_empty(["token", "df"], [pa.string(), pa.int64()]),
+        batch_format="pyarrow",
+    )
+    if min_docs > 1:
+        renamed = renamed.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("df"), min_docs)),
+            batch_format="pyarrow",
+        )
+    return renamed
+
+
+# -- approximate distinct counting (HyperLogLog) -----------------------------
+
+HLL_P = 14  # 2^14 registers = 16 KiB/accumulator, ~0.8% standard error
+
+
+def _hll_update(registers: np.ndarray, values) -> None:
+    """Fold md5-derived 64-bit hashes into HLL registers in place."""
+    p = HLL_P
+    for v in values:
+        h = int.from_bytes(
+            hashlib.md5(str(v).encode("utf-8")).digest()[:8], "little"
+        )
+        idx = h & ((1 << p) - 1)
+        rest = h >> p
+        # rank: 1 + leading-zero run of the remaining 64-p bits
+        rank = (64 - p) - rest.bit_length() + 1 if rest else (64 - p) + 1
+        if rank > registers[idx]:
+            registers[idx] = rank
+
+
+def _hll_estimate(registers: np.ndarray) -> int:
+    m = float(len(registers))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-registers.astype(np.float64))))
+    zeros = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and zeros:  # small-range linear counting correction
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def approx_distinct(ds, col: str, split_tokens: bool = False):
+    """HyperLogLog distinct-count of ``col`` (or of its whitespace-ish
+    tokens with ``split_tokens=True``): the corpus reduces to ONE 16 KiB
+    register array via per-block accumulate + elementwise-max tree merge
+    inside ``Dataset.aggregate`` — the driver never sees a key, so this
+    holds at any corpus size (vs the exact ``token_counts().count()``
+    path whose exchange is vocabulary-sized).  ~0.8% standard error."""
+    from ray.data.aggregate import AggregateFn
+
+    m = 1 << HLL_P
+
+    def _acc(registers: np.ndarray, block) -> np.ndarray:
+        if split_tokens:
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(block.column(col)), TOKEN_SPLIT_PATTERN
+            )
+            flat = pc.list_flatten(toks)
+            flat = flat.filter(pc.not_equal(flat, ""))
+            _hll_update(registers, flat.to_pylist())
+        else:
+            _hll_update(registers, block.column(col).drop_null().to_pylist())
+        return registers
+
+    agg = AggregateFn(
+        init=lambda _k: np.zeros(m, dtype=np.uint8),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=_acc,
+        name="hll",
+    )
+    result = ds.aggregate(agg)
+    if not result or result.get("hll") is None:
+        return 0
+    return _hll_estimate(result["hll"])
 
 
 def length_histogram(ds, text_col: str = "text"):

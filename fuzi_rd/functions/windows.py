@@ -55,3 +55,84 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_us: int = _US_30MIN
         )
 
     return ds.groupby(key).map_groups(_per_key, batch_format="pyarrow")
+
+
+def hopping_counts(
+    ds,
+    ts: str = "ts",
+    size_us: int = 3600 * 1_000_000,
+    step_us: int = 900 * 1_000_000,
+    value_col: str | None = None,
+):
+    """Hopping (sliding) window aggregate: (window_start_us, n_events[,
+    total_value_milli]) for every ``size_us`` window advancing by
+    ``step_us`` (epoch-aligned).  Completes the window family next to the
+    tumbling ``events_hourly`` bucket and the gap-based ``sessionize``.
+
+    Scale shape: each event row-expands to its ``size/step`` covering
+    windows inside ``map_batches`` (vectorized: one repeat + one tiled
+    arange, no Python loop), then ONE groupby on the int64 window start —
+    the same combiner-friendly exchange as a tumbling bucket, amplified by
+    the fixed size/step ratio (keep it small; 4 here by default).  Values
+    aggregate as integer millis so results are exactly reproducible (and
+    SQL-oracle-checkable) regardless of summation order."""
+    if size_us % step_us != 0:
+        raise ValueError("size_us must be a multiple of step_us")
+    k = size_us // step_us
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts)
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        t = t.to_numpy(zero_copy_only=False)
+        # last window start covering t: floor(t/step)*step; the k covering
+        # starts count down from it (clipped below zero lexically by the
+        # window's own [start, start+size) check — epoch 0 is far away)
+        last = (t // step_us) * step_us
+        starts = np.repeat(last, k) - np.tile(
+            np.arange(k, dtype=np.int64) * step_us, len(t)
+        )
+        cols = {"window_start_us": pa.array(starts, pa.int64())}
+        if value_col is not None:
+            import pyarrow.compute as pc
+
+            # half_towards_infinity matches SQL round() tie behavior
+            milli = pc.cast(
+                pc.round(
+                    pc.multiply(batch.column(value_col), 1000),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            cols["value_milli"] = pa.array(np.repeat(milli, k), pa.int64())
+        return pa.table(cols)
+
+    expanded = ds.map_batches(_expand, batch_format="pyarrow")
+    if value_col is None:
+        agg = expanded.groupby("window_start_us").count()
+        names = ["window_start_us", "n_events"]
+        types = [pa.int64(), pa.int64()]
+    else:
+        agg = expanded.groupby("window_start_us").aggregate(
+            *_count_and_sum("value_milli")
+        )
+        names = ["window_start_us", "n_events", "total_value_milli"]
+        types = [pa.int64(), pa.int64(), pa.int64()]
+
+    schema = pa.schema(list(zip(names, types)))
+
+    def _rename(b: pa.Table) -> pa.Table:
+        if b.num_columns != len(names):
+            return schema.empty_table()
+        b = b.rename_columns(names)
+        return pa.table(
+            {n: b.column(n).cast(t) for n, t in zip(names, types)}
+        )
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def _count_and_sum(col: str):
+    from ray.data.aggregate import Count, Sum
+
+    return Count(), Sum(col)

@@ -805,6 +805,50 @@ def test_sessionize(ray_session):
     }
 
 
+def test_hopping_counts(ray_session):
+    """Each event lands in exactly size/step windows; counts and integer
+    milli sums are exact."""
+    import ray
+
+    from fuzi_rd.functions.windows import hopping_counts
+
+    S = 1_000_000  # one second in us
+    tbl = pa.table(
+        {
+            "ts": pa.array([0, 5 * S, 10 * S, 25 * S], pa.int64()),
+            "value": pa.array([1.0, 2.0, 0.0005, 4.0], pa.float64()),
+        }
+    )
+    # size 20 s, step 10 s -> k=2 windows per event
+    out = hopping_counts(
+        ray.data.from_arrow(tbl),
+        size_us=20 * S,
+        step_us=10 * S,
+        value_col="value",
+    ).take_all()
+    got = {
+        r["window_start_us"]: (r["n_events"], r["total_value_milli"])
+        for r in out
+    }
+    # t=0,5s -> windows -10s,0; t=10s -> 0,10s; t=25s -> 10s,20s
+    # 0.0005 * 1000 = 0.5 rounds half-away to 1 (matches SQL round())
+    assert got == {
+        -10 * S: (2, 3000),
+        0: (3, 3001),
+        10 * S: (2, 4001),
+        20 * S: (1, 4000),
+    }
+
+
+def test_hopping_counts_bad_step():
+    import pytest
+
+    from fuzi_rd.functions.windows import hopping_counts
+
+    with pytest.raises(ValueError):
+        hopping_counts(None, size_us=100, step_us=33)
+
+
 def test_asof_join(ray_session):
     import ray
 

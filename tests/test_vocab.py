@@ -9,8 +9,11 @@ import pytest
 
 from fuzi_rd.functions import dedup
 from fuzi_rd.functions.vocab import (
+    _hll_estimate,
+    approx_distinct,
     length_quantiles,
     token_counts,
+    token_df,
     vocab_topk,
 )
 
@@ -60,6 +63,58 @@ def test_token_counts_nulls_and_empty(ray_session):
     )
     rows = {r["token"]: r["freq"] for r in token_counts(ds).take_all()}
     assert rows == {"ok": 1}
+
+
+def test_token_df_distinct_docs(ray_session):
+    import ray
+
+    # 'the' occurs 3x across 2 docs -> df 2; 'dog' 2x in 1 doc -> df 1
+    ds = ray.data.from_arrow(
+        _docs_table(["the cat the", "THE hat", "dog dog"])
+    )
+    rows = {r["token"]: r["df"] for r in token_df(ds).take_all()}
+    assert rows == {"the": 2, "cat": 1, "hat": 1, "dog": 1}
+
+
+def test_token_df_min_docs(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_docs_table(["a b", "a c", "a d"]))
+    rows = {r["token"]: r["df"] for r in token_df(ds, min_docs=2).take_all()}
+    assert rows == {"a": 3}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct
+
+
+def test_approx_distinct_within_error(ray_session):
+    import ray
+
+    n = 5000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"value-{i}" for i in range(n)], pa.string()),
+        }
+    )
+    est = approx_distinct(ray.data.from_arrow(tbl), "text")
+    # 2^14 registers -> ~0.8% standard error; allow 5 sigma
+    assert abs(est - n) < 0.04 * n
+
+
+def test_approx_distinct_tokens_and_empty(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_docs_table(["a b c", "b c d", None]))
+    est = approx_distinct(ds, "text", split_tokens=True)
+    assert est == 4  # a b c d — exact at tiny cardinality (linear counting)
+    empty = ray.data.from_arrow(_docs_table([]))
+    assert approx_distinct(empty, "text") == 0
+
+
+def test_hll_estimate_empty_registers():
+    assert _hll_estimate(np.zeros(1 << 14, dtype=np.uint8)) == 0
 
 
 # ---------------------------------------------------------------------------
