@@ -214,6 +214,17 @@ def _q_distinct_tokens(sf_dir: str):
     return pa.table({"approx_distinct_tokens": pa.array([est], pa.int64())})
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Top-5 TF-IDF terms per document: document frequencies fit via the
+    token_df combiner, idf map broadcast once via ray.put, per-doc scoring
+    and ranking local to an actor pool (at most k rows per doc emitted).
+    Integer milli-nat scores make ranking and oracle exact."""
+    from fuzi_rd.functions.vocab import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=5)
+
+
 def _q_length_quantiles(sf_dir: str):
     """Exact document-length quantiles via a distributed histogram
     reduction (only the bounded (distinct-length, count) table reaches the
@@ -1073,6 +1084,20 @@ def _meta_pages_dir_for(sf_dir: str) -> str:
     return out
 
 
+def _q_page_markdown(sf_dir: str):
+    """HTML -> Markdown conversion over the synthesized page table: one
+    actor-pool parse + recursion-free arena render per page (headings,
+    lists, links, code fences, tables), one row out per page, no shuffle
+    (rows-only; structure rendering has no SQL; goldens in pytest)."""
+    import ray
+
+    from fuzi_rd.stages.markdown import markdown_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return markdown_dataset(ds, batch_size=16)
+
+
 def _q_page_metadata(sf_dir: str):
     """Head-metadata extraction: title, meta description, canonical URL,
     lang, robots directives, og: fields — one actor-pool parse + bounded
@@ -1665,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_xcorpus_keep": _q_bloom_xcorpus_keep,
         "vocab_topk": _q_vocab_topk,
         "token_df": _q_token_df,
+        "tfidf_topk": _q_tfidf_topk,
         "distinct_tokens": _q_distinct_tokens,
         "length_quantiles": _q_length_quantiles,
         "dup_spans": _q_dup_spans,
@@ -1718,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "extract_pages": _q_extract_pages,
         "page_links": _q_page_links,
+        "page_markdown": _q_page_markdown,
         "page_metadata": _q_page_metadata,
         "canonical_keep": _q_canonical_keep,
         "link_graph": _q_link_graph,
@@ -1812,6 +1839,35 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) t WHERE token <> ''
             GROUP BY token
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ),
+            df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     tf.tf * CAST(floor(1000 * ln(n.n / df.df)) AS BIGINT)
+                       AS score_milli
+              FROM tf JOIN df USING (token), n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_milli DESC, token ASC) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, token, tf, score_milli, rnk
+            FROM ranked WHERE rnk <= 5
         """,
         "length_quantiles": """
             SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]::DOUBLE[]) AS q,

@@ -160,6 +160,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "crawl_diff",
         "events_hopping",
         "page_metadata",
+        "page_markdown",
+        "tfidf_topk",
     ]
     times = {}
     for name in picked:

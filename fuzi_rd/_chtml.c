@@ -385,6 +385,12 @@ static int32_t handle_starttag(B *b, int tag, int n0, int n1, int nfl) {
             if ((tag == T_TD || tag == T_TH || tag == T_TR) &&
                 (t == T_THEAD || t == T_TBODY || t == T_TFOOT))
                 break;
+            /* list-item scope: <li> never closes through a nested ul/ol,
+             * dt/dd never through dl (mirrors html_parser.py) */
+            if (tag == T_LI && (t == T_UL || t == T_OL))
+                break;
+            if ((tag == T_DT || tag == T_DD) && t == T_DL)
+                break;
         }
     }
     int32_t nid = b_open(b, tag, n0, n1, nfl);

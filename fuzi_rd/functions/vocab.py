@@ -184,6 +184,92 @@ def approx_distinct(ds, col: str, split_tokens: bool = False):
     return _hll_estimate(result["hll"])
 
 
+def tfidf_topk(
+    ds,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int | None = None,
+):
+    """Top-``k`` TF-IDF terms per document: (doc_id, token, tf, score_milli,
+    rnk) — the per-document keyword signal curation and retrieval pipelines
+    derive from a corpus (``token_df`` is the fit half; this is the apply).
+
+    Two-stage broadcast, the same shape as ``lm_score.unigram_logprob``:
+
+    1. **Fit**: document frequencies via :func:`token_df` (per-document
+       unique combiner, integer partials on the exchange) reduce to a
+       vocabulary-sized table; ``top_vocab`` caps what the driver holds at
+       crawl scale (tokens outside the cap simply don't rank — they are
+       the rare tail whose idf would dominate noise anyway).
+    2. **Score**: the idf map crosses the cluster ONCE via ``ray.put``;
+       an actor pool scores batches locally and emits at most ``k`` rows
+       per document.  No shuffle ever carries a per-occurrence token row.
+
+    Scores are integer fixed-point — ``tf * floor(1000 * ln(n_docs/df))``
+    milli-nats — so ranking and the DuckDB oracle cannot drift by float
+    rounding; ties break (score desc, token asc), matching SQL
+    ``row_number() OVER (... ORDER BY score_milli DESC, token ASC)``."""
+    import ray
+
+    n_docs = ds.count()
+    df_tbl = token_df(ds, text_col=text_col, doc_col=id_col)
+    if top_vocab is not None:
+        df_tbl = df_tbl.sort(["df", "token"], descending=[True, False]).limit(
+            top_vocab
+        )
+    idf_milli = {
+        r["token"]: math.floor(1000.0 * math.log(n_docs / r["df"]))
+        for r in df_tbl.iter_rows()
+    }
+    idf_ref = ray.put(idf_milli)
+
+    class _Score:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import re
+
+            idf = self.idf
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out = {"doc_id": [], "token": [], "tf": [], "score_milli": [], "rnk": []}
+            split = re.compile(TOKEN_SPLIT_PATTERN)
+            for did, text in zip(ids, texts):
+                tf: dict[str, int] = {}
+                for t in split.split((text or "").lower()):
+                    if t:
+                        tf[t] = tf.get(t, 0) + 1
+                scored = [
+                    (t, c, c * idf[t]) for t, c in tf.items() if t in idf
+                ]
+                scored.sort(key=lambda x: (-x[2], x[0]))
+                for rnk, (t, c, s) in enumerate(scored[:k], start=1):
+                    out["doc_id"].append(did)
+                    out["token"].append(t)
+                    out["tf"].append(c)
+                    out["score_milli"].append(s)
+                    out["rnk"].append(rnk)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], pa.int64()),
+                    "token": pa.array(out["token"], pa.string()),
+                    "tf": pa.array(out["tf"], pa.int64()),
+                    "score_milli": pa.array(out["score_milli"], pa.int64()),
+                    "rnk": pa.array(out["rnk"], pa.int64()),
+                }
+            )
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(
+        _Score,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=max(1, int(n_cpus * 0.75)),
+    )
+
+
 def length_histogram(ds, text_col: str = "text"):
     """Exact histogram of document character lengths: (n_chars, n_docs)."""
 

@@ -188,6 +188,13 @@ class _HTMLBuilder:
                     tag in ("td", "th", "tr") and t in ("thead", "tbody", "tfoot")
                 ):
                     break
+                # list-item scope: a new <li> must not close through a
+                # nested list container (HTML5 "list item scope"; same for
+                # dt/dd within dl) — else nested lists flatten
+                if tag == "li" and t in ("ul", "ol"):
+                    break
+                if tag in ("dt", "dd") and t == "dl":
+                    break
         nid = self._open(tag, attrs, line)
         if tag in VOID_ELEMENTS:
             self._close_top()

@@ -12,6 +12,7 @@ from fuzi_rd.functions.vocab import (
     _hll_estimate,
     approx_distinct,
     length_quantiles,
+    tfidf_topk,
     token_counts,
     token_df,
     vocab_topk,
@@ -82,6 +83,51 @@ def test_token_df_min_docs(ray_session):
     ds = ray.data.from_arrow(_docs_table(["a b", "a c", "a d"]))
     rows = {r["token"]: r["df"] for r in token_df(ds, min_docs=2).take_all()}
     assert rows == {"a": 3}
+
+
+def test_tfidf_topk_scores_and_ranks(ray_session):
+    import math
+
+    import ray
+
+    # 4 docs; 'rare' appears only in doc 0 (df=1), 'the' in all (df=4, idf 0)
+    docs = [
+        "the rare rare term",
+        "the common words",
+        "the common stuff",
+        "the common words again",
+    ]
+    ds = ray.data.from_arrow(_docs_table(docs))
+    rows = tfidf_topk(ds, k=2).take_all()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["rnk"])
+    idf = lambda df: math.floor(1000 * math.log(4 / df))  # noqa: E731
+    # doc 0: rare tf=2 df=1 -> 2*1386; term tf=1 df=1 -> 1386; 'the' idf 0
+    assert [(r["token"], r["tf"], r["score_milli"]) for r in by_doc[0]] == [
+        ("rare", 2, 2 * idf(1)),
+        ("term", 1, idf(1)),
+    ]
+    # doc 1: common df=3 -> idf(3)=287; words df=2 -> idf(2)=693 ranks first
+    assert [(r["token"], r["score_milli"]) for r in by_doc[1]] == [
+        ("words", idf(2)),
+        ("common", idf(3)),
+    ]
+    # every doc emits at most k rows with contiguous ranks
+    for v in by_doc.values():
+        assert [r["rnk"] for r in v] == list(range(1, len(v) + 1))
+
+
+def test_tfidf_topk_top_vocab_cap(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_docs_table(["a a b", "a c", "a d"]))
+    # cap vocabulary to the single highest-df token ('a', df=3, idf=0)
+    rows = tfidf_topk(ds, k=5, top_vocab=1).take_all()
+    assert {r["token"] for r in rows} == {"a"}
+    assert all(r["score_milli"] == 0 for r in rows)
 
 
 # ---------------------------------------------------------------------------
