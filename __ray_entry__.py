@@ -1084,6 +1084,66 @@ def _meta_pages_dir_for(sf_dir: str) -> str:
     return out
 
 
+def _q_incremental_extract(sf_dir: str):
+    """Incremental-crawl extraction: two snapshots derived deterministically
+    from the page fixture (old = seq%3!=2; new = seq%3!=0, mutated html for
+    seq%5==0); unchanged pages reuse the previous run's rows, added/changed
+    pages flow through the extractor; the union is returned (rows-only; the
+    result ≡ from-scratch extraction invariant is pinned by
+    tests/test_incremental.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from fuzi_rd.pipelines.extraction import extract_dataset
+    from fuzi_rd.pipelines.incremental import incremental_extract
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+
+    def _mk(drop_mod3: int, mutate: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            # seq = the zero-padded tail of the fixture url
+            seqs = np.array(
+                [int(u.rsplit("/", 1)[1]) for u in b.column("url").to_pylist()],
+                np.int64,
+            )
+            out = b.filter(pa.array(seqs % 3 != drop_mod3))
+            if mutate:
+                urls = out.column("url").to_pylist()
+                htmls = out.column("html").to_pylist()
+                htmls = [
+                    h + b"<p>crawl-2 update</p>"
+                    if int(u.rsplit("/", 1)[1]) % 5 == 0
+                    else h
+                    for u, h in zip(urls, htmls)
+                ]
+                out = pa.table(
+                    {
+                        "url": out.column("url"),
+                        "html": pa.array(htmls, pa.binary()),
+                    }
+                )
+            return out
+
+        return _f
+
+    old_pages = ds.map_batches(_mk(2, False), batch_format="pyarrow")
+    new_pages = ds.map_batches(_mk(0, True), batch_format="pyarrow")
+    prev_extracted = extract_dataset(old_pages, batch_size=16).materialize()
+    result, _classes = incremental_extract(
+        old_pages,
+        new_pages,
+        prev_extracted,
+        extract=lambda d: extract_dataset(d, batch_size=16),
+    )
+    return result.select_columns(
+        ["url", "part", "title", "text_len", "text_hash", "status"]
+    )
+
+
 def _q_page_markdown(sf_dir: str):
     """HTML -> Markdown conversion over the synthesized page table: one
     actor-pool parse + recursion-free arena render per page (headings,
@@ -1744,6 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "extract_pages": _q_extract_pages,
         "page_links": _q_page_links,
+        "incremental_extract": _q_incremental_extract,
         "page_markdown": _q_page_markdown,
         "page_metadata": _q_page_metadata,
         "canonical_keep": _q_canonical_keep,

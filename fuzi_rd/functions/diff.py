@@ -24,7 +24,9 @@ _NEW = "__diff_new_hash"
 def _digests(key_col: str, text_col: str, out_col: str):
     def _d(batch: pa.Table) -> pa.Table:
         hashes = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            hashlib.md5(
+                t if isinstance(t, bytes) else (t or "").encode("utf-8")
+            ).hexdigest()
             for t in batch.column(text_col).to_pylist()
         ]
         return pa.table(

@@ -15,6 +15,7 @@ engine-level operators expressed Ray-Data-first.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -213,3 +214,48 @@ def interval_join(
     return ds.map_batches(
         Bander, batch_format="pyarrow", concurrency=concurrency
     )
+
+
+def nested_semi_join(ds, keys_ds, key_col: str, batch_format: str = "pyarrow"):
+    """Semi-join that tolerates NESTED payload columns: keep ``ds`` rows
+    whose ``key_col`` appears in ``keys_ds``.
+
+    ``Dataset.join`` shuffles through Acero, which rejects list/struct
+    non-key fields ("Data type list<...> is not supported in join non-key
+    field") — so extraction outputs carrying a ``spans`` list column can't
+    use the plain semi-join.  This is the tagged-union groupby form (same
+    pattern as :func:`asof_join`): key rows ride the ONE hash shuffle as
+    all-null payload rows with a marker column, and each group keeps its
+    payload rows iff a marker row is present.  Cost: one groupby shuffle
+    of ``ds`` — the same exchange a hash join would do, without Acero's
+    type limits.
+    """
+    schema = ds.schema().base_schema
+    _SJ = "__sj_marker"
+
+    def _tag_payload(b: pa.Table) -> pa.Table:
+        return b.append_column(_SJ, pa.array(np.zeros(len(b), np.int8())))
+
+    def _tag_keys(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in schema:
+            if f.name == key_col:
+                cols[f.name] = b.column(key_col).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(len(b), f.type)
+        t = pa.table(cols)
+        return t.append_column(_SJ, pa.array(np.ones(len(b), np.int8())))
+
+    tagged = ds.map_batches(_tag_payload, batch_format="pyarrow").union(
+        keys_ds.map_batches(_tag_keys, batch_format="pyarrow")
+    )
+
+    def _keep(g: pa.Table) -> pa.Table:
+        sj = g.column(_SJ)
+        payload_mask = pc.equal(sj, 0)
+        has_key = bool(pc.max(sj).as_py() or 0)
+        if not has_key:
+            payload_mask = pa.array(np.zeros(len(g), bool))
+        return g.filter(payload_mask).drop_columns([_SJ])
+
+    return tagged.groupby(key_col).map_groups(_keep, batch_format=batch_format)
