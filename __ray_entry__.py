@@ -1696,6 +1696,66 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_logprob(ds, max_token_chars=None)
 
 
+def _q_logodds_score(sf_dir: str):
+    """Two-class token log-odds quality classifier (fastText-linear shape):
+    fit per-token milli log-odds weights from a bool-labeled corpus
+    (per-batch count combiners -> one vocabulary groupby), broadcast the
+    weights ONCE via ray.put, score with an actor pool.  Seed labels here
+    are the deterministic doc_id % 7 != 0 split (a stand-in for a curated
+    seed set); integer-milli fixed point keeps the DuckDB oracle exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.lm_score import logodds_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _label(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("is_good", pa.array(ids % 7 != 0))
+
+    labeled = ds.map_batches(_label, batch_format="pyarrow")
+    return logodds_score(labeled, max_token_chars=None)
+
+
+def _q_pack_layout(sf_dir: str):
+    """Sequence-packing token layout: every document gets a deterministic
+    (bin, pack_id, offset) position in fixed-length training sequences —
+    one fixed-width-row groupby(bin) shuffle + vectorized per-bin prefix
+    sums; text never enters the exchange."""
+    from fuzi_rd.functions.packing import pack_layout
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_layout(ds, seq_len=2048, n_bins=16)
+
+
+def _q_decontam_keep(sf_dir: str):
+    """Benchmark decontamination: documents sharing any 8-token window with
+    the benchmark corpus (deterministic doc_id % 29 == 0 subset, a stand-in
+    for a real eval set) are dropped.  The benchmark reduces to a bounded
+    128-bit double-fingerprint array broadcast once; the corpus streams
+    through a vectorized probe actor pool — no shuffle touches text."""
+    import pyarrow as pa
+
+    from fuzi_rd.functions.decontam import decontam_keep
+
+    def _bench_only(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 29 == 0))
+
+    # independent reads: a shared lazy plan consumed twice re-executes
+    # upstream per consumer (and can wedge; see dedup._compact notes)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _bench_only, batch_format="pyarrow"
+    )
+    return decontam_keep(ds, bench, w=8)
+
+
 def _q_warc_ingest(sf_dir: str):
     """Crawl-archive ingestion: documents sharded into WARC segment files
     (sources/warc.py, half per-record-gzip .warc.gz), read back with one
@@ -1786,6 +1846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _q_pdf_extract,
         "warc_ingest": _q_warc_ingest,
         "unigram_lm": _q_unigram_lm,
+        "logodds_score": _q_logodds_score,
+        "pack_layout": _q_pack_layout,
+        "decontam_keep": _q_decontam_keep,
         "host_rollup": _q_host_rollup,
         "domain_sample": _q_domain_sample,
         "events_json_rollup": _q_events_json_rollup,
@@ -2199,6 +2262,100 @@ def oracle_sql() -> dict[str, str]:
                    sum(milli) // count(*) AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "logodds_score": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            lab AS (
+              SELECT doc_id, tok, (doc_id % 7 <> 0) AS is_good FROM tok
+            ),
+            vocab AS (
+              SELECT tok,
+                     sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS gc,
+                     sum(CASE WHEN NOT is_good THEN 1 ELSE 0 END) AS bc
+              FROM lab GROUP BY tok
+            ),
+            tot AS (
+              SELECT sum(gc) AS good_tot, sum(bc) AS bad_tot,
+                     count(*) AS v
+              FROM vocab
+            ),
+            w AS (
+              -- add-1 smoothed milli log-odds; both products cast to
+              -- DOUBLE before dividing (the engine mirrors this cast)
+              SELECT tok,
+                     CAST(floor(1000 * ln(
+                         CAST((gc + 1) * (bad_tot + v) AS DOUBLE)
+                       / CAST((bc + 1) * (good_tot + v) AS DOUBLE)))
+                       AS BIGINT) AS milli
+              FROM vocab, tot
+            ),
+            scored AS (
+              SELECT t.doc_id, w.milli FROM lab t JOIN w ON t.tok = w.tok
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   sum(milli) AS logodds_milli,
+                   -- FLOOR division (Python semantics): subtract the
+                   -- positive mod first so negative sums round down, not
+                   -- toward zero like DuckDB's bare //
+                   (sum(milli)
+                    - ((sum(milli) % count(*) + count(*)) % count(*)))
+                   // count(*) AS mean_logodds_milli
+            FROM scored
+            GROUP BY doc_id
+        """,
+        "pack_layout": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     doc_id % 16 AS bin,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(list_filter(
+                                 string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '')) END AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, bin, n_tokens,
+                     coalesce(SUM(n_tokens) OVER (
+                         PARTITION BY bin ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS tok_offset
+              FROM s
+            )
+            SELECT doc_id, bin, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   tok_offset,
+                   tok_offset // 2048 AS pack_id,
+                   tok_offset % 2048 AS offset_in_pack
+            FROM o
+        """,
+        "decontam_keep": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+              FROM toks WHERE len(ts) >= 8
+            ),
+            wins AS (
+              SELECT doc_id, array_to_string(ts[i : i + 7], ' ') AS win
+              FROM idx
+            ),
+            bench AS (
+              SELECT DISTINCT win FROM wins WHERE doc_id % 29 = 0
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT DISTINCT w.doc_id
+              FROM wins w JOIN bench b ON w.win = b.win
+            )
         """,
         "warc_ingest": r"""
             SELECT doc_id,

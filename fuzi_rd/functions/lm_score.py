@@ -189,3 +189,173 @@ def unigram_logprob(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# -- two-class token log-odds classifier ------------------------------------
+
+
+def _labeled_count_batch(
+    batch: pa.Table, text_col: str, label_col: str, max_chars: int | None
+) -> pa.Table:
+    """Per-batch combiner for the classifier fit: one (tok, gc, bc) partial
+    row per distinct token in the batch."""
+    gc: dict[str, int] = {}
+    bc: dict[str, int] = {}
+    labels = batch.column(label_col).to_pylist()
+    for text, good in zip(batch.column(text_col).to_pylist(), labels):
+        tgt = gc if good else bc
+        for tok in _tokens(text or "", max_chars):
+            tgt[tok] = tgt.get(tok, 0) + 1
+    toks = list(gc.keys() | bc.keys())
+    return pa.table(
+        {
+            "tok": pa.array(toks, pa.string()),
+            "gc": pa.array([gc.get(t, 0) for t in toks], pa.int64()),
+            "bc": pa.array([bc.get(t, 0) for t in toks], pa.int64()),
+        }
+    )
+
+
+def fit_logodds_weights(
+    ds,
+    text_col: str = "text",
+    label_col: str = "is_good",
+    top_k: int | None = None,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
+):
+    """Fit per-token log-odds weights from a bool-labeled corpus; returns
+    ``(weights: dict[str, int], oov_milli: int)``.
+
+    Weight (integer milli, add-1 smoothed, floor like the surprisal op):
+
+        w(tok) = floor(1000 * ln( ((gc+1) * (bad_tot + V))
+                                / ((bc+1) * (good_tot + V)) ))
+
+    where gc/bc are the token's occurrence counts in good/bad documents,
+    good_tot/bad_tot the class token totals and V the distinct-token count
+    — all computed BEFORE any ``top_k`` cap, so capped and uncapped fits
+    agree on every retained token.  ``top_k`` keeps the K highest-|weight|
+    tokens (the discriminative ones), bounding the broadcast at crawl
+    scale; the oracle setting is ``None`` (exact).
+    """
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        lambda b: _labeled_count_batch(b, text_col, label_col, max_token_chars),
+        batch_format="pyarrow",
+    )
+    agg = (
+        counts.groupby("tok")
+        .aggregate(Sum("gc", alias_name="gc"), Sum("bc", alias_name="bc"))
+        .materialize()
+    )
+    good_tot = int(agg.sum("gc") or 0)
+    bad_tot = int(agg.sum("bc") or 0)
+    v = agg.count()
+    rows = list(agg.iter_rows())
+    # float() each side BEFORE dividing — DuckDB's BIGINT/BIGINT division
+    # casts to DOUBLE then divides, and above 2^53 that differs from
+    # Python's correctly-rounded int/int; mirroring the cast keeps the
+    # oracle bit-exact at any corpus size
+    weights = {
+        r["tok"]: math.floor(
+            1000.0
+            * math.log(
+                float((int(r["gc"]) + 1) * (bad_tot + v))
+                / float((int(r["bc"]) + 1) * (good_tot + v))
+            )
+        )
+        for r in rows
+    }
+    if top_k is not None and len(weights) > top_k:
+        keep = sorted(weights, key=lambda t: (-abs(weights[t]), t))[:top_k]
+        weights = {t: weights[t] for t in keep}
+    oov = math.floor(1000.0 * math.log(float(bad_tot + v) / float(good_tot + v)))
+    return weights, oov
+
+
+class _ScoreLogodds:
+    """Actor-pool scorer: weights read from the object store once per
+    actor; integer milli arithmetic per batch (sums are exact, the mean is
+    FLOOR division so the DuckDB oracle can reproduce it bit-for-bit on
+    negative sums too)."""
+
+    def __init__(self, weights_ref, oov: int, id_col, text_col, max_token_chars):
+        import ray
+
+        self.weights: dict[str, int] = ray.get(weights_ref)
+        self.oov = oov
+        self.id_col = id_col
+        self.text_col = text_col
+        self.max_token_chars = max_token_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_ids, n_toks, sums, means = [], [], [], []
+        w, oov = self.weights, self.oov
+        for i, text in zip(ids, texts):
+            toks = _tokens(text or "", self.max_token_chars)
+            if not toks:
+                continue  # no tokens, no evidence; excluded like unigram_lm
+            s = sum(w.get(t, oov) for t in toks)
+            out_ids.append(i)
+            n_toks.append(len(toks))
+            sums.append(s)
+            means.append(s // len(toks))  # Python floor division
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "logodds_milli": pa.array(sums, pa.int64()),
+                "mean_logodds_milli": pa.array(means, pa.int64()),
+            }
+        )
+
+
+def logodds_score(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "is_good",
+    top_k: int | None = None,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+):
+    """fastText-style linear quality classifier over token log-odds.
+
+    ``ds`` must carry a boolean ``label_col`` (the seed labels: a curated
+    good/bad split, a heuristic gate, an upstream model — the fit is label
+    -source-agnostic).  Fit and scoring follow the unigram_lm two-stage
+    broadcast shape: per-batch count combiners -> one vocabulary-sized
+    groupby -> weights broadcast ONCE via ``ray.put`` -> scoring actor
+    pool; document rows never shuffle.  Integer-milli outputs, exact vs
+    the DuckDB oracle at ``top_k=None, max_token_chars=None``.
+    """
+    import ray
+
+    weights, oov = fit_logodds_weights(
+        ds,
+        text_col=text_col,
+        label_col=label_col,
+        top_k=top_k,
+        max_token_chars=max_token_chars,
+    )
+    weights_ref = ray.put(weights)
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, int(n_cpus * 0.75))
+    return ds.map_batches(
+        _ScoreLogodds,
+        fn_constructor_kwargs={
+            "weights_ref": weights_ref,
+            "oov": oov,
+            "id_col": id_col,
+            "text_col": text_col,
+            "max_token_chars": max_token_chars,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

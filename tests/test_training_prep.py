@@ -1,0 +1,241 @@
+"""Training-shard preparation operators: sequence packing (packing.py),
+benchmark decontamination (decontam.py), log-odds classifier (lm_score.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+# -- pack_layout -------------------------------------------------------------
+
+
+def test_pack_layout_prefix_sums_and_boundaries(ray_session):
+    import ray
+
+    from fuzi_rd.functions.packing import pack_layout
+
+    rows = [
+        (0, "a b c"),          # bin 0, 3 tokens
+        (4, "d e f g"),        # bin 0 (n_bins=4), 4 tokens
+        (8, " "),              # bin 0, 0 tokens
+        (12, "h i j k l m"),   # bin 0, 6 tokens
+        (1, "one two"),        # bin 1
+        (5, "three"),          # bin 1
+    ]
+    out = pack_layout(
+        ray.data.from_arrow(_docs(rows)), seq_len=5, n_bins=4
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == len(rows)
+
+    # bin 0 ordered by doc_id: 0(3), 4(4), 8(0), 12(6)
+    assert by_id[0]["tok_offset"] == 0 and by_id[0]["pack_id"] == 0
+    assert by_id[4]["tok_offset"] == 3
+    assert by_id[4]["offset_in_pack"] == 3
+    assert by_id[8]["tok_offset"] == 7 and by_id[8]["n_tokens"] == 0
+    assert by_id[8]["pack_id"] == 1  # zero-width doc at its successor's slot
+    assert by_id[12]["tok_offset"] == 7
+    assert by_id[12]["pack_id"] == 1 and by_id[12]["offset_in_pack"] == 2
+
+    # bin 1 independent stream
+    assert by_id[1]["tok_offset"] == 0
+    assert by_id[5]["tok_offset"] == 2
+    for r in out:
+        assert r["bin"] == r["doc_id"] % 4
+        assert r["pack_id"] == r["tok_offset"] // 5
+        assert r["offset_in_pack"] == r["tok_offset"] % 5
+
+
+def test_pack_layout_deterministic_across_runs(ray_session):
+    import ray
+
+    from fuzi_rd.functions.packing import pack_layout
+
+    rows = [(i, ("tok " * (i % 17 + 1)).strip()) for i in range(200)]
+    a = sorted(
+        map(tuple, (r.values() for r in pack_layout(
+            ray.data.from_arrow(_docs(rows)), seq_len=64, n_bins=8
+        ).take_all()))
+    )
+    b = sorted(
+        map(tuple, (r.values() for r in pack_layout(
+            ray.data.from_arrow(_docs(rows)), seq_len=64, n_bins=8
+        ).take_all()))
+    )
+    assert a == b
+    # every token position within a bin is covered exactly once
+    import collections
+
+    per_bin = collections.defaultdict(list)
+    for r in pack_layout(
+        ray.data.from_arrow(_docs(rows)), seq_len=64, n_bins=8
+    ).take_all():
+        per_bin[r["bin"]].append((r["tok_offset"], r["n_tokens"]))
+    for offs in per_bin.values():
+        offs.sort()
+        pos = 0
+        for off, n in offs:
+            assert off == pos
+            pos += n
+
+
+# -- decontam_keep -----------------------------------------------------------
+
+_GRAM = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+
+
+def test_decontam_drops_overlapping_docs(ray_session):
+    import ray
+
+    from fuzi_rd.functions.decontam import decontam_keep
+
+    corpus = _docs(
+        [
+            (1, f"intro words {_GRAM} trailing text here"),  # contaminated
+            (2, "totally unrelated document with plenty of words to spare"),
+            (3, "Alpha Beta GAMMA delta epsilon zeta eta theta"),  # case-insensitive hit
+            (4, "alpha beta gamma delta epsilon zeta eta"),  # only 7 of the 8
+            (5, "short doc"),  # < w tokens, always kept
+        ]
+    )
+    bench = _docs([(100, f"the benchmark question is {_GRAM} answer: 42")])
+    kept = sorted(
+        r["doc_id"]
+        for r in decontam_keep(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench), w=8
+        ).take_all()
+    )
+    assert kept == [2, 4, 5]
+
+
+def test_decontam_bench_self_match_and_empty_bench(ray_session):
+    import ray
+
+    from fuzi_rd.functions.decontam import decontam_keep
+
+    long_doc = (10, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    corpus = _docs([long_doc, (11, "clean few words")])
+    # benchmark containing the same doc: it matches itself and is dropped
+    bench = _docs([long_doc])
+    kept = sorted(
+        r["doc_id"]
+        for r in decontam_keep(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench), w=8
+        ).take_all()
+    )
+    assert kept == [11]
+
+    # an empty benchmark (no windows) keeps everything
+    bench0 = _docs([(99, "too short")])
+    kept0 = sorted(
+        r["doc_id"]
+        for r in decontam_keep(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench0), w=8
+        ).take_all()
+    )
+    assert kept0 == [10, 11]
+
+
+def test_decontam_bench_window_cap_raises(ray_session):
+    import ray
+
+    from fuzi_rd.functions.decontam import decontam_keep
+
+    corpus = _docs([(1, "x")])
+    bench = _docs([(2, " ".join(f"t{i}" for i in range(40)))])  # 33 windows
+    with pytest.raises(ValueError, match="max_bench_windows"):
+        decontam_keep(
+            ray.data.from_arrow(corpus),
+            ray.data.from_arrow(bench),
+            w=8,
+            max_bench_windows=10,
+        )
+
+
+# -- logodds_score -----------------------------------------------------------
+
+
+def test_logodds_scores_separate_classes(ray_session):
+    import math
+
+    import ray
+
+    from fuzi_rd.functions.lm_score import logodds_score
+
+    # good docs say "signal", bad docs say "noise"; "shared" is neutral
+    rows, labels = [], []
+    for i in range(12):
+        good = i % 3 != 0
+        word = "signal" if good else "noise"
+        rows.append((i, f"{word} shared"))
+        labels.append(good)
+    tbl = _docs(rows).append_column("is_good", pa.array(labels))
+    out = {
+        r["doc_id"]: r
+        for r in logodds_score(
+            ray.data.from_arrow(tbl), max_token_chars=None
+        ).take_all()
+    }
+    assert len(out) == 12
+
+    # hand-computed: gc/bc per token, totals, v=3 distinct tokens
+    # good docs: 8 -> "signal shared" x8 ; bad docs: 4 -> "noise shared" x4
+    good_tot, bad_tot, v = 16, 8, 3
+    w = {
+        "signal": math.floor(1000 * math.log(float((8 + 1) * (bad_tot + v)) / float((0 + 1) * (good_tot + v)))),
+        "noise": math.floor(1000 * math.log(float((0 + 1) * (bad_tot + v)) / float((4 + 1) * (good_tot + v)))),
+        "shared": math.floor(1000 * math.log(float((8 + 1) * (bad_tot + v)) / float((4 + 1) * (good_tot + v)))),
+    }
+    for i, r in out.items():
+        word = "signal" if i % 3 != 0 else "noise"
+        s = w[word] + w["shared"]
+        assert r["n_tokens"] == 2
+        assert r["logodds_milli"] == s
+        assert r["mean_logodds_milli"] == s // 2  # floor, incl. negative sums
+    # classes separate: every good doc outscores every bad doc
+    good_scores = [r["mean_logodds_milli"] for i, r in out.items() if i % 3 != 0]
+    bad_scores = [r["mean_logodds_milli"] for i, r in out.items() if i % 3 == 0]
+    assert min(good_scores) > max(bad_scores)
+    assert max(bad_scores) < 0 < min(good_scores)
+
+
+def test_logodds_top_k_cap_keeps_discriminative_tokens(ray_session):
+    import ray
+
+    from fuzi_rd.functions.lm_score import fit_logodds_weights
+
+    rows, labels = [], []
+    for i in range(20):
+        good = i < 10
+        rows.append((i, ("great " if good else "awful ") + "filler words here"))
+        labels.append(good)
+    tbl = _docs(rows).append_column("is_good", pa.array(labels))
+    full, oov_full = fit_logodds_weights(ray.data.from_arrow(tbl))
+    capped, oov_capped = fit_logodds_weights(ray.data.from_arrow(tbl), top_k=2)
+    assert set(capped) == {"great", "awful"}  # highest |weight|
+    # capped weights agree with the uncapped fit (totals pre-cap)
+    assert all(capped[t] == full[t] for t in capped)
+    assert oov_full == oov_capped
+
+
+def test_logodds_zero_token_docs_excluded(ray_session):
+    import ray
+
+    from fuzi_rd.functions.lm_score import logodds_score
+
+    tbl = _docs([(1, "some words"), (2, "   "), (3, "")]).append_column(
+        "is_good", pa.array([True, False, True])
+    )
+    out = logodds_score(ray.data.from_arrow(tbl)).take_all()
+    assert [r["doc_id"] for r in out] == [1]
