@@ -1158,6 +1158,21 @@ def _q_page_markdown(sf_dir: str):
     return markdown_dataset(ds, batch_size=16)
 
 
+def _q_page_tables(sf_dir: str):
+    """HTML table extraction (structured data from the crawl): one row per
+    table CELL with (table_idx, row_idx, col_idx) grid coordinates plus
+    header/span flags — one actor-pool parse + bounded preorder arena scan
+    per page, hard caps on tables/rows/cells, no shuffle (rows-only; HTML
+    parse has no SQL)."""
+    import ray
+
+    from fuzi_rd.stages.tables import extract_tables_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return extract_tables_dataset(ds, batch_size=16)
+
+
 def _q_page_metadata(sf_dir: str):
     """Head-metadata extraction: title, meta description, canonical URL,
     lang, robots directives, og: fields — one actor-pool parse + bounded
@@ -1319,6 +1334,17 @@ def _q_embedding_clusters(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     _cents, assigned = build_ivf_assignments(ds, n_centroids=8)
     return assigned.select_columns(["vec_id", "bucket"])
+
+
+def _q_embedding_outliers(sf_dir: str):
+    """Embedding-space outlier detection (junk/off-distribution tail):
+    distance to the nearest k-means centroid, per-batch partial top-n,
+    tiny final sort+limit — only batches x n fixed-width rows cross the
+    exchange.  Rows-only (iterative k-means, no SQL)."""
+    from fuzi_rd.functions.simsearch import embedding_outliers
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_outliers(ds, n_centroids=8, top_n=25)
 
 
 _ROBOTS_POLICY = """
@@ -1858,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_compress_ratio": _q_doc_compress_ratio,
         "embedding_clusters": _q_embedding_clusters,
+        "embedding_outliers": _q_embedding_outliers,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_keep": _q_minhash_keep,
@@ -1870,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_extract": _q_incremental_extract,
         "page_markdown": _q_page_markdown,
         "page_metadata": _q_page_metadata,
+        "page_tables": _q_page_tables,
         "canonical_keep": _q_canonical_keep,
         "link_graph": _q_link_graph,
         "anchor_rollup": _q_anchor_rollup,

@@ -162,6 +162,9 @@ def run_query_bench(sf_dir: str) -> dict:
         "page_metadata",
         "page_markdown",
         "tfidf_topk",
+        "logodds_score",
+        "pack_layout",
+        "decontam_keep",
     ]
     times = {}
     for name in picked:

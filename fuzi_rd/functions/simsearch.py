@@ -239,3 +239,44 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, max_hamming: int = 2) -> list[d
         {"rank": i + 1, "vec_id": r["vec_id"], "sim": r["sim"]}
         for i, r in enumerate(rows[:k])
     ]
+
+
+def embedding_outliers(ds, n_centroids: int = 8, top_n: int = 50, sample_size: int = 2048):
+    """Embedding-space outlier detection: documents far from every cluster
+    centroid are junk candidates (OCR noise, binary soup, off-distribution
+    content) — the embedding-side analog of the perplexity tail.
+
+    Build = the IVF quantizer (bounded driver-side k-means sample,
+    centroids broadcast once); score = per-batch vectorized distance to
+    the ASSIGNED (nearest) centroid; reduce = per-batch partial top-n so
+    only ``batches x top_n`` fixed-width rows reach the final tiny
+    sort+limit.  Returns a Dataset of (vec_id, bucket, dist_milli) — the
+    ``top_n`` furthest vectors, distance as integer milli (deterministic
+    ordering, vec_id tiebreak).
+    """
+    import ray
+
+    cents, assigned = build_ivf_assignments(
+        ds, n_centroids=n_centroids, sample_size=sample_size
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        d2 = ((mat - cents[buckets]) ** 2).sum(axis=1)
+        dist_milli = np.floor(1000.0 * np.sqrt(d2)).astype(np.int64)
+        n = min(top_n, len(dist_milli))
+        idx = np.argsort(-dist_milli, kind="stable")[:n]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").take(pa.array(idx)),
+                "bucket": batch.column("bucket").take(pa.array(idx)),
+                "dist_milli": pa.array(dist_milli[idx], pa.int64()),
+            }
+        )
+
+    partial = assigned.map_batches(_partial, batch_format="pyarrow")
+    return (
+        partial.sort(["dist_milli", "vec_id"], descending=[True, False])
+        .limit(top_n)
+    )

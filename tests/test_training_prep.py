@@ -239,3 +239,42 @@ def test_logodds_zero_token_docs_excluded(ray_session):
     )
     out = logodds_score(ray.data.from_arrow(tbl)).take_all()
     assert [r["doc_id"] for r in out] == [1]
+
+
+# -- embedding_outliers -------------------------------------------------------
+
+
+def test_embedding_outliers_finds_planted_outlier(ray_session):
+    import numpy as np
+    import ray
+
+    from fuzi_rd.functions.simsearch import embedding_outliers
+
+    rng = np.random.RandomState(7)
+    # two tight clusters + one far-away planted outlier
+    a = rng.normal(0.0, 0.05, size=(40, 8)) + np.array([1.0] * 8)
+    b = rng.normal(0.0, 0.05, size=(40, 8)) - np.array([1.0] * 8)
+    outlier = np.full((1, 8), 25.0)
+    mat = np.vstack([a, b, outlier])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    # sample excludes the outlier (first 80 rows): the quantizer models
+    # the inlier distribution, the outlier scores against it
+    out = embedding_outliers(
+        ray.data.from_arrow(tbl), n_centroids=2, top_n=5, sample_size=80
+    ).take_all()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 80  # the planted outlier ranks first
+    assert out[0]["dist_milli"] > out[1]["dist_milli"] * 5
+    # deterministic across runs
+    out2 = embedding_outliers(
+        ray.data.from_arrow(tbl), n_centroids=2, top_n=5, sample_size=80
+    ).take_all()
+    assert [(r["vec_id"], r["dist_milli"]) for r in out] == [
+        (r["vec_id"], r["dist_milli"]) for r in out2
+    ]
