@@ -1336,6 +1336,97 @@ def _q_embedding_clusters(sf_dir: str):
     return assigned.select_columns(["vec_id", "bucket"])
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-Min sketch watchlist counting: corpus reduces to ONE
+    (depth x width) counter matrix via accumulate + elementwise-add tree
+    merge in Dataset.aggregate — no vocabulary-sized exchange, fixed
+    512 KiB state at any corpus size.  Estimates never undershoot; the
+    e/width overshoot bound is pinned against exact counts in
+    tests/test_training_prep.py.  Rows-only (sketch, no SQL)."""
+    from fuzi_rd.functions.vocab import cms_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    watch = ["the", "and", "data", "model", "qzx"]  # incl. an absent token
+    return cms_token_counts(ds, watch)
+
+
+def _q_sitemap_ingest(sf_dir: str):
+    """Sitemap ingestion (crawl-frontier seeding): the synthesized page
+    table is sharded into sitemaps.org <urlset> XML files (alternating
+    plain/gzip) plus an index; one Ray read task per file parses with the
+    engine's recovering XML parser and emits fixed-width url rows.
+    Rows-only (XML parse, no SQL)."""
+    import pathlib
+
+    import ray
+
+    from fuzi_rd.sources.sitemap import (
+        read_sitemap_dataset,
+        write_sitemaps_from_pages,
+    )
+
+    tier = pathlib.Path(sf_dir).name or "sf"
+    pages = _pages_dir_for(sf_dir)
+    sm_dir = write_sitemaps_from_pages(
+        pages, f"/tmp/fuzi_rd_sitemaps_{tier}"
+    )
+    return read_sitemap_dataset(sm_dir)
+
+
+def _q_frontier_urls(sf_dir: str):
+    """Composed crawl-frontier builder: sitemap locs (discovery) minus
+    already-crawled urls (every 3rd page, deterministic) via one native
+    left_anti hash join on url-only fixed-width rows — the seeding step
+    before fetch.  Rows-only (pipeline composition)."""
+    import pathlib
+
+    import pyarrow as pa
+
+    import ray
+
+    from fuzi_rd.sources.sitemap import (
+        read_sitemap_dataset,
+        write_sitemaps_from_pages,
+    )
+
+    tier = pathlib.Path(sf_dir).name or "sf"
+    pages = _pages_dir_for(sf_dir)
+    sm_dir = write_sitemaps_from_pages(pages, f"/tmp/fuzi_rd_sitemaps_{tier}")
+
+    def _locs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = b.filter(pc.invert(b.column("is_index")))
+        return pa.table({"url": keep.column("loc")})
+
+    discovered = read_sitemap_dataset(sm_dir).map_batches(
+        _locs, batch_format="pyarrow"
+    )
+
+    def _crawled(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        seqs = np.array(
+            [int(u.rsplit("/", 1)[1]) for u in b.column("url").to_pylist()],
+            np.int64,
+        )
+        return pa.table({"url": b.column("url").filter(pa.array(seqs % 3 == 0))})
+
+    crawled = (
+        ray.data.read_parquet(pages, columns=["url"])
+        .map_batches(_crawled, batch_format="pyarrow")
+    )
+    from fuzi_rd.functions.dedup import _compact
+
+    frontier = _compact(discovered).join(
+        _compact(crawled),
+        join_type="left_anti",
+        num_partitions=8,
+        on=("url",),
+    )
+    return frontier
+
+
 def _q_embedding_outliers(sf_dir: str):
     """Embedding-space outlier detection (junk/off-distribution tail):
     distance to the nearest k-means centroid, per-batch partial top-n,
@@ -1885,6 +1976,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compress_ratio": _q_doc_compress_ratio,
         "embedding_clusters": _q_embedding_clusters,
         "embedding_outliers": _q_embedding_outliers,
+        "cms_counts": _q_cms_counts,
+        "sitemap_ingest": _q_sitemap_ingest,
+        "frontier_urls": _q_frontier_urls,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_keep": _q_minhash_keep,

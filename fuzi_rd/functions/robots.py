@@ -25,7 +25,7 @@ import re
 
 import pyarrow as pa
 
-__all__ = ["RobotsPolicy", "robots_keep"]
+__all__ = ["RobotsPolicy", "robots_keep", "robots_sitemaps"]
 
 
 def _rule_regex(pattern: str) -> re.Pattern | None:
@@ -49,6 +49,7 @@ class RobotsPolicy:
         current_uas: list[str] = []
         current_rules: list[tuple[bool, str]] = []
         ua_open = False  # consecutive UA lines extend the same group
+        self.sitemaps: list[str] = []  # Sitemap: is global, not per-group
         for raw in text.splitlines():
             line = raw.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -67,8 +68,12 @@ class RobotsPolicy:
                 ua_open = False
                 if current_uas:
                     current_rules.append((key == "allow", val))
+            elif key == "sitemap":
+                ua_open = False
+                if val:
+                    self.sitemaps.append(val)  # frontier discovery (RFC 9309 §2.3)
             else:
-                ua_open = False  # crawl-delay, sitemap, ...: ignored
+                ua_open = False  # crawl-delay, ...: ignored
         if current_uas:
             groups.append((current_uas, current_rules))
 
@@ -138,4 +143,22 @@ def robots_keep(ds, policies: dict[str, str], agent: str = "fuzi", url_col: str 
         _Keep,
         batch_format="pyarrow",
         concurrency=max(1, int(n_cpus * 0.75)),
+    )
+
+
+def robots_sitemaps(policies: dict[str, str]) -> pa.Table:
+    """Frontier discovery: collect every ``Sitemap:`` directive from a
+    per-host robots.txt map — the seed list `sources.sitemap` ingests.
+    Driver-side on purpose: robots policies are the SMALL side (one text
+    per host); the output is (host, sitemap_url) in host-then-file order."""
+    hosts, urls = [], []
+    for host in sorted(policies):
+        for sm in RobotsPolicy(policies[host]).sitemaps:
+            hosts.append(host)
+            urls.append(sm)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "sitemap_url": pa.array(urls, pa.string()),
+        }
     )

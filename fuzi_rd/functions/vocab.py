@@ -314,3 +314,92 @@ def length_quantiles(ds, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), text_col: str = "
     return pa.table(
         {"q": pa.array(out_q, pa.float64()), "n_chars": pa.array(out_v, pa.int64())}
     )
+
+
+# -- Count-Min sketch (watchlist counting without a vocabulary exchange) -----
+
+CMS_WIDTH = 1 << 14  # 16384 counters/row
+CMS_DEPTH = 4  # P(over by > e/width * total) <= exp(-depth) per query
+
+
+def _cms_hash(row: int, token: str) -> int:
+    return int.from_bytes(
+        hashlib.md5(f"{row}:{token}".encode("utf-8")).digest()[:8], "little"
+    )
+
+
+def cms_sketch(ds, col: str, split_tokens: bool = False,
+               width: int = CMS_WIDTH, depth: int = CMS_DEPTH):
+    """Count-Min sketch of ``col`` (or its token stream): the corpus
+    reduces to ONE (depth x width) uint64 counter matrix via per-block
+    accumulate + elementwise-ADD tree merge inside ``Dataset.aggregate``.
+
+    The point at 100 TB: estimating counts for a bounded WATCHLIST
+    (blocklist terms, benchmark markers, competitor names) must not pay
+    the vocabulary-sized exchange of exact ``token_counts`` — an unbounded
+    crawl vocabulary makes that exchange the bottleneck.  The sketch is a
+    fixed 512 KiB regardless of corpus size; estimates overshoot by at
+    most ``e/width x total_count`` with probability ``1 - exp(-depth)``
+    per query, and never undershoot.
+
+    Returns ``(matrix: np.ndarray[depth, width], total: int)``.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def _acc(state, block) -> np.ndarray:
+        mat = state
+        if split_tokens:
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(block.column(col)), TOKEN_SPLIT_PATTERN
+            )
+            flat = pc.list_flatten(toks)
+            flat = flat.filter(pc.not_equal(flat, ""))
+        else:
+            flat = block.column(col).drop_null()
+        vc = (
+            flat.combine_chunks().value_counts()
+            if isinstance(flat, pa.ChunkedArray)
+            else flat.value_counts()
+        )
+        # per-batch combiner: one update per DISTINCT token in the block
+        for tok, cnt in zip(vc.field(0).to_pylist(), vc.field(1).to_pylist()):
+            for r in range(depth):
+                mat[r, _cms_hash(r, tok) % width] += cnt
+        mat[depth, 0] += sum(vc.field(1).to_pylist())  # total row
+        return mat
+
+    agg = AggregateFn(
+        init=lambda _k: np.zeros((depth + 1, width), dtype=np.uint64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc,
+        name="cms",
+    )
+    result = ds.aggregate(agg)
+    if not result or result.get("cms") is None:
+        return np.zeros((depth, width), dtype=np.uint64), 0
+    mat = result["cms"]
+    return mat[:depth], int(mat[depth, 0])
+
+
+def cms_token_counts(ds, tokens, text_col: str = "text",
+                     width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> pa.Table:
+    """Estimated corpus counts for a token watchlist via one Count-Min
+    reduction: (token, est_count, total_tokens) — ``est_count`` never
+    undershoots the true count and overshoots by at most
+    ``~e/width x total_tokens`` w.h.p."""
+    mat, total = cms_sketch(
+        ds, text_col, split_tokens=True, width=width, depth=depth
+    )
+    ests = []
+    for tok in tokens:
+        est = min(
+            int(mat[r, _cms_hash(r, tok) % width]) for r in range(depth)
+        )
+        ests.append(est)
+    return pa.table(
+        {
+            "token": pa.array(list(tokens), pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+            "total_tokens": pa.array([total] * len(ests), pa.int64()),
+        }
+    )

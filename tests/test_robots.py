@@ -84,3 +84,35 @@ def test_robots_keep_filter(ray_session):
         ds, policies={"a.example.com": RULES}, agent="fuzi"
     ).take_all()
     assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4]
+
+
+def test_sitemap_directives_collected():
+    from fuzi_rd.functions.robots import RobotsPolicy, robots_sitemaps
+
+    text = """# frontier seeds
+User-agent: *
+Disallow: /private
+Sitemap: https://a.test/sitemap-index.xml
+
+User-agent: megabot
+Disallow: /
+Sitemap: https://a.test/extra.xml.gz
+"""
+    p = RobotsPolicy(text)
+    # Sitemap is global (RFC 9309 sec 2.3): both collected regardless of group
+    assert p.sitemaps == [
+        "https://a.test/sitemap-index.xml",
+        "https://a.test/extra.xml.gz",
+    ]
+    # rule parsing unaffected by the interleaved Sitemap lines
+    assert not p.allowed("/private/x") and p.allowed("/public")
+
+    tbl = robots_sitemaps(
+        {
+            "b.test": text,
+            "a.test": "User-agent: *\nDisallow:",
+            "c.test": "Sitemap: https://c.test/s.xml",
+        }
+    )
+    assert tbl.column("host").to_pylist() == ["b.test", "b.test", "c.test"]
+    assert tbl.column("sitemap_url").to_pylist()[2] == "https://c.test/s.xml"

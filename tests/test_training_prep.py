@@ -278,3 +278,56 @@ def test_embedding_outliers_finds_planted_outlier(ray_session):
     assert [(r["vec_id"], r["dist_milli"]) for r in out] == [
         (r["vec_id"], r["dist_milli"]) for r in out2
     ]
+
+
+# -- Count-Min sketch ---------------------------------------------------------
+
+
+def test_cms_counts_bounded_overestimates(ray_session):
+    import collections
+    import re
+
+    import ray
+
+    from fuzi_rd.functions.vocab import cms_token_counts
+
+    rows = []
+    for i in range(300):
+        rows.append((i, f"the quick fox {i % 7} jumps over the lazy dog"))
+    tbl = _docs(rows)
+    exact = collections.Counter()
+    for _id, text in rows:
+        exact.update(t for t in re.split(r"[^a-z]+", text.lower()) if t)
+    total = sum(exact.values())
+
+    watch = ["the", "fox", "dog", "absent_token"]
+    out = cms_token_counts(
+        ray.data.from_arrow(tbl), watch, width=1 << 12, depth=4
+    )
+    got = dict(zip(out.column("token").to_pylist(),
+                   out.column("est_count").to_pylist()))
+    assert out.column("total_tokens").to_pylist() == [total] * 4
+    eps_bound = int(2.72 / (1 << 12) * total) + 1
+    for tok in watch:
+        assert got[tok] >= exact[tok]  # CMS never undershoots
+        assert got[tok] <= exact[tok] + eps_bound
+    # tiny vocab vs 4096-wide rows: no collisions, estimates are exact
+    assert got["the"] == exact["the"] == 600
+    assert got["absent_token"] == 0
+
+
+def test_cms_deterministic_and_empty(ray_session):
+    import ray
+
+    from fuzi_rd.functions.vocab import cms_sketch, cms_token_counts
+
+    tbl = _docs([(1, "a b c"), (2, "a a")])
+    m1, t1 = cms_sketch(ray.data.from_arrow(tbl), "text", split_tokens=True)
+    m2, t2 = cms_sketch(ray.data.from_arrow(tbl), "text", split_tokens=True)
+    assert t1 == t2 == 5
+    assert (m1 == m2).all()
+
+    empty = _docs([]).cast(_docs([(1, "x")]).schema)
+    out = cms_token_counts(ray.data.from_arrow(empty), ["a"])
+    assert out.column("est_count").to_pylist() == [0]
+    assert out.column("total_tokens").to_pylist() == [0]
