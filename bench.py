@@ -165,6 +165,9 @@ def run_query_bench(sf_dir: str) -> dict:
         "logodds_score",
         "pack_layout",
         "decontam_keep",
+        "page_tables",
+        "sitemap_ingest",
+        "cms_counts",
     ]
     times = {}
     for name in picked:

@@ -60,16 +60,19 @@ class _ProbeContamination:
         wins = self.fps(batch)
         fp = wins.column("fp").to_numpy(zero_copy_only=False)
         doc = wins.column(self.doc_col).to_numpy(zero_copy_only=False)
-        bad_ids: set[int] = set()
+        bad = np.empty(0, dtype=np.int64)
         if len(fp) and len(self.fp1):
-            cand = np.isin(fp, self.fp1)
+            cand = np.isin(fp, self.fp1)  # vectorized prefilter, rare hits
             if cand.any():
                 fp2 = wins.column("fp2").to_numpy(zero_copy_only=False)
-                for d, a, b in zip(doc[cand], fp[cand], fp2[cand]):
-                    if (int(a) << 64) | int(b) in self.pair_set:
-                        bad_ids.add(int(d))
+                hits = [
+                    int(d)
+                    for d, a, b in zip(doc[cand], fp[cand], fp2[cand])
+                    if (int(a) << 64) | int(b) in self.pair_set
+                ]
+                bad = np.unique(np.array(hits, dtype=np.int64))
         ids = batch.column(self.doc_col).to_numpy(zero_copy_only=False)
-        keep = np.array([int(i) not in bad_ids for i in ids], dtype=bool)
+        keep = ~np.isin(ids, bad)  # vectorized; Python touches only hits
         return pa.table({self.doc_col: batch.column(self.doc_col).filter(pa.array(keep))})
 
 

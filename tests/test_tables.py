@@ -128,3 +128,10 @@ def test_web_fixture_has_tables():
     # grid coordinates are well-formed
     for t, r, c, _h, _txt in got:
         assert t >= 0 and r >= 0 and c >= 0
+
+
+def test_uppercase_tags_normalized():
+    assert _cells(b"<TABLE><TR><TH>H</TH><TD>d</TD></TR></TABLE>") == [
+        (0, 0, 0, True, "H"),
+        (0, 0, 1, False, "d"),
+    ]
