@@ -1637,6 +1637,20 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
+def _q_pdf_layout(sf_dir: str):
+    """Layout-aware PDF parse: per-page text lines (with their text-matrix
+    y) segmented into visual blocks on vertical-gap evidence — one row per
+    block with page/y-extent coordinates.  Joining a document's blocks in
+    order reproduces its flat pdf_text (structure, not content), pinned by
+    tests/test_pdf.py.  Rows-only (layout heuristic, no SQL)."""
+    from fuzi_rd.sources.pdfs import pdfs_from_documents_batch
+    from fuzi_rd.stages.pdf_extract import pdf_layout_dataset
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pdfs = ds.map_batches(pdfs_from_documents_batch, batch_format="pyarrow")
+    return pdf_layout_dataset(pdfs)
+
+
 def _doc_url_batch(batch):
     """Deterministic per-document url with varied case/subdomain/multi-part
     TLD/port — shared by host_rollup and blocklist_keep, reproduced
@@ -1961,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_status": _q_top_orders_per_status,
         "parts_by_brand": _q_parts_by_brand,
         "pdf_extract": _q_pdf_extract,
+        "pdf_layout": _q_pdf_layout,
         "warc_ingest": _q_warc_ingest,
         "unigram_lm": _q_unigram_lm,
         "logodds_score": _q_logodds_score,

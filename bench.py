@@ -168,6 +168,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "page_tables",
         "sitemap_ingest",
         "cms_counts",
+        "pdf_layout",
     ]
     times = {}
     for name in picked:

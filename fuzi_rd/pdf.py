@@ -409,31 +409,62 @@ _TJ_SPACE_KERN = -180
 
 
 class _TextState:
-    """Accumulates page text under the fixed layout rules."""
+    """Accumulates page text as LINES under the fixed layout rules,
+    remembering the text-matrix y at each line's first show (the layout
+    signal :func:`parse_pdf_layout` blocks on).  ``b"\\n".join`` of the
+    line contents reproduces the flat-text pass byte for byte: a line is
+    "open" exactly while the old accumulator's ``line_open`` was True."""
 
     def __init__(self):
-        self.parts: list[bytes] = []
-        self.line_open = False  # text emitted since the last line break
+        self.lines: list[tuple[float | None, bytes]] = []
+        self._cur: bytearray | None = None  # None <=> not line_open
+        self._cur_y: float | None = None
         self.last_tm_y: float | None = None
+        # absolute-ish text position: Tm sets it, Td/TD/T* translate it.
+        # "ish" because a content stream may never issue Tm; y is then
+        # relative to the BT origin — still monotone per line advance,
+        # which is all the block segmentation needs.
+        self.y: float | None = None
+        self.tl: float = 0.0  # leading (TL / TD)
 
     def newline(self) -> None:
-        if self.line_open:
-            self.parts.append(b"\n")
-            self.line_open = False
+        if self._cur is not None:
+            self.lines.append((self._cur_y, bytes(self._cur)))
+            self._cur = None
 
     def space(self) -> None:
-        if self.line_open:
-            self.parts.append(b" ")
+        if self._cur is not None:
+            self._cur += b" "
 
     def show(self, s: bytes) -> None:
-        self.parts.append(s)
-        self.line_open = True
+        if self._cur is None:
+            self._cur = bytearray()
+            self._cur_y = self.y
+        self._cur += s
 
-    def result(self) -> bytes:
-        return b"".join(self.parts)
+    def result(self) -> list[tuple[float | None, bytes]]:
+        self.newline()
+        return self.lines
 
 
 def _extract_text(content: bytes) -> bytes:
+    """Flat page text: the line pass joined with newlines (byte-identical
+    to the pre-layout accumulator; pinned by tests/test_pdf.py)."""
+    return b"\n".join(t for _, t in _extract_lines(content))
+
+
+def _num2(stack) -> tuple[float, float]:
+    """Last two numeric operands (tx, ty) — 0 when absent/malformed."""
+    ty = stack[-1] if stack and isinstance(stack[-1], (int, float)) else 0
+    tx = (
+        stack[-2]
+        if len(stack) > 1 and isinstance(stack[-2], (int, float))
+        else 0
+    )
+    return float(tx), float(ty)
+
+
+def _extract_lines(content: bytes) -> list[tuple[float | None, bytes]]:
     state = _TextState()
     stack: list = []  # operand stack (strings/numbers/arrays we care about)
     rd = _Reader(content)
@@ -480,28 +511,43 @@ def _extract_text(content: bytes) -> bytes:
             op = m.group()
             if op == b"BT":
                 state.last_tm_y = None
+                state.y = 0.0  # BT resets the text matrix to identity
             elif op == b"Td" or op == b"TD":
-                ty = stack[-1] if stack and isinstance(stack[-1], (int, float)) else 0
+                tx, ty = _num2(stack)
                 if ty != 0:
                     state.newline()
                 else:
                     state.space()
+                if state.y is not None:
+                    state.y += ty
+                if op == b"TD":
+                    state.tl = -ty
+            elif op == b"TL":
+                _, tl = _num2(stack)
+                state.tl = tl
             elif op == b"T*":
                 state.newline()
+                if state.y is not None:
+                    state.y -= state.tl
             elif op == b"Tm":
                 ty = stack[-1] if stack and isinstance(stack[-1], (int, float)) else None
                 if state.last_tm_y is not None and ty != state.last_tm_y:
                     state.newline()
                 state.last_tm_y = ty
+                state.y = float(ty) if ty is not None else None
             elif op == b"Tj":
                 if stack and isinstance(stack[-1], bytes):
                     state.show(stack[-1])
             elif op == b"'":
                 state.newline()
+                if state.y is not None:
+                    state.y -= state.tl
                 if stack and isinstance(stack[-1], bytes):
                     state.show(stack[-1])
             elif op == b'"':
                 state.newline()
+                if state.y is not None:
+                    state.y -= state.tl
                 if stack and isinstance(stack[-1], bytes):
                     state.show(stack[-1])
             elif op == b"TJ":
@@ -648,3 +694,121 @@ def parse_pdf(data: bytes) -> PdfDocument:
 def pdf_text(data: bytes) -> str:
     """Whole-document text (pages joined with one newline)."""
     return parse_pdf(data).text
+
+
+# ---------------------------------------------------------------------------
+# layout blocks
+
+
+@dataclass
+class PdfBlock:
+    page: int
+    block_idx: int  # per page, top-to-bottom
+    y_top: float | None
+    y_bottom: float | None
+    n_lines: int
+    text: str
+
+
+def _page_content_chunks(doc: _Doc, pobj: _Obj) -> list[bytes]:
+    contents = doc.resolve(pobj.value.get("Contents"))
+    refs = (
+        pobj.value.get("Contents")
+        if isinstance(pobj.value.get("Contents"), _Ref)
+        else None
+    )
+    chunks: list[bytes] = []
+    if isinstance(contents, list):
+        for ref in contents:
+            s = doc.stream_of(ref)
+            if s:
+                chunks.append(s)
+    elif refs is not None:
+        s = doc.stream_of(refs)
+        if s:
+            chunks.append(s)
+    return chunks
+
+
+def parse_pdf_layout(
+    data: bytes, gap_factor: float = 1.8, min_gap: float = 4.0
+) -> list[PdfBlock]:
+    """Layout-aware block segmentation: per-page text lines (with their
+    text-matrix y) grouped into visual blocks wherever the vertical gap
+    between consecutive lines exceeds ``gap_factor`` x the page's typical
+    leading (median |dy|), i.e. paragraph/section whitespace.
+
+    The text is EXACTLY the flat extraction's text re-partitioned: the
+    blocks' RAW line bytes in order are the flat pass's line list, so
+    joining block texts with newlines reproduces :func:`pdf_text` for any
+    self-consistently encoded document (byte-exact pre-decode; pinned by
+    test on the utf-8 fixtures).  Layout adds structure, never changes
+    content.  Lines with unknown y (streams that never position) stay
+    attached to the current block.
+    """
+    if not data.lstrip()[:5].startswith(b"%PDF-"):
+        raise PdfError("not a PDF (missing %PDF- header)")
+    objs = _scan_objects(data)
+    if not objs:
+        raise PdfError("no parseable objects")
+    doc = _Doc(objs)
+    for obj in objs.values():
+        v = obj.value
+        if isinstance(v, dict) and "Encrypt" in v and "Root" in v:
+            raise PdfError("encrypted PDF not supported")
+    blocks: list[PdfBlock] = []
+    for p, pobj in enumerate(_page_order(doc)):
+        chunks = _page_content_chunks(doc, pobj)
+        lines = _extract_lines(b"\n".join(chunks)) if chunks else []
+        if not lines:
+            continue
+        # typical leading: the MODE of absolute y-steps between consecutive
+        # known-y lines (0 steps — same-y continuation — excluded).  The
+        # mode, not the median: body-text leading is the most frequent
+        # step, while a paragraph-heavy page can have enough gap steps to
+        # drag a median up past the gaps themselves.  Ties break smaller.
+        ys = [y for y, _ in lines]
+        counts: dict[float, int] = {}
+        for a, b in zip(ys, ys[1:]):
+            if a is not None and b is not None and a != b:
+                d = abs(a - b)
+                counts[d] = counts.get(d, 0) + 1
+        leading = (
+            min(counts, key=lambda d: (-counts[d], d)) if counts else 0.0
+        )
+        threshold = max(gap_factor * leading, min_gap)
+        cur: list[tuple[float | None, bytes]] = []
+        idx = 0
+
+        def flush():
+            nonlocal idx, cur
+            if not cur:
+                return
+            ys = [y for y, _ in cur if y is not None]
+            blocks.append(
+                PdfBlock(
+                    page=p,
+                    block_idx=idx,
+                    y_top=max(ys) if ys else None,
+                    y_bottom=min(ys) if ys else None,
+                    n_lines=len(cur),
+                    text="\n".join(_decode_text_bytes(t) for _, t in cur),
+                )
+            )
+            idx += 1
+            cur = []
+
+        prev_y: float | None = None
+        for y, t in lines:
+            if (
+                cur
+                and y is not None
+                and prev_y is not None
+                and abs(prev_y - y) > threshold
+            ):
+                flush()
+            cur.append((y, t))
+            if y is not None:
+                prev_y = y
+        flush()
+    return blocks

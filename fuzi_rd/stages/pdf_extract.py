@@ -106,3 +106,58 @@ def extract_pdfs_dataset(ds, num_parts: int = DEFAULT_NUM_PARTS, batch_size: int
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class ExtractPdfLayout:
+    """Layout-block extraction: one output row per visual block —
+    (doc_id, page, block_idx, y_top, y_bottom, n_lines, text).  Row
+    expansion happens inside the task; malformed PDFs contribute zero
+    rows (the row-expanding poison-pill contract, same as ExtractTables).
+    Joining a document's block texts in order reproduces its flat
+    ``pdf_text`` — layout adds structure, never changes content."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fuzi_rd.pdf import parse_pdf_layout
+
+        ids_out, pages, idxs, y0, y1, nls, texts = [], [], [], [], [], [], []
+        for doc_id, raw in zip(
+            batch.column("doc_id").to_pylist(), batch.column("pdf").to_pylist()
+        ):
+            try:
+                blocks = parse_pdf_layout(raw or b"")
+            except Exception:
+                continue
+            for b in blocks:
+                ids_out.append(doc_id)
+                pages.append(b.page)
+                idxs.append(b.block_idx)
+                y0.append(b.y_top)
+                y1.append(b.y_bottom)
+                nls.append(b.n_lines)
+                texts.append(b.text)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "page": pa.array(pages, pa.int32()),
+                "block_idx": pa.array(idxs, pa.int32()),
+                "y_top": pa.array(y0, pa.float64()),
+                "y_bottom": pa.array(y1, pa.float64()),
+                "n_lines": pa.array(nls, pa.int32()),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+
+
+def pdf_layout_dataset(ds, batch_size: int = 128, concurrency=None):
+    """Wire ExtractPdfLayout onto a (doc_id, pdf) Dataset (lazy)."""
+    import ray
+
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, int(n_cpus * 0.75))
+    return ds.map_batches(
+        ExtractPdfLayout,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -240,3 +240,114 @@ def test_extract_pdfs_poison_pill(ray_session):
     assert by_id[1]["status"] == "ok" and by_id[1]["pdf_text"] == "good"
     assert by_id[2]["status"] == "error" and "PdfError" in by_id[2]["error"]
     assert by_id[3]["status"] == "error"
+
+
+# -- layout blocks -----------------------------------------------------------
+
+
+def _hand_pdf(content: bytes) -> bytes:
+    """Minimal single-page PDF around a hand-written content stream."""
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+        b"4 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n",
+    ]
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def test_layout_blocks_split_on_vertical_gap():
+    from fuzi_rd.pdf import parse_pdf_layout, pdf_text
+
+    # two 2-line paragraphs separated by a 3x-leading gap, then a footer
+    # far below: 3 blocks
+    content = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 720 Tm (para one line one) Tj "
+        b"1 0 0 1 72 706 Tm (para one line two) Tj "
+        b"1 0 0 1 72 660 Tm (para two line one) Tj "
+        b"1 0 0 1 72 646 Tm (para two line two) Tj "
+        b"1 0 0 1 72 100 Tm (footer) Tj "
+        b"ET"
+    )
+    pdf = _hand_pdf(content)
+    blocks = parse_pdf_layout(pdf)
+    assert [(b.block_idx, b.n_lines, b.y_top, b.y_bottom) for b in blocks] == [
+        (0, 2, 720.0, 706.0),
+        (1, 2, 660.0, 646.0),
+        (2, 1, 100.0, 100.0),
+    ]
+    assert blocks[0].text == "para one line one\npara one line two"
+    assert blocks[2].text == "footer"
+    # structure only, content identical
+    assert "\n".join(b.text for b in blocks) == pdf_text(pdf)
+
+
+def test_layout_single_block_and_td_advance():
+    from fuzi_rd.pdf import parse_pdf_layout
+
+    # Td-relative advances (no Tm): uniform leading -> one block, y tracked
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (a line) Tj "
+        b"0 -14 Td (b line) Tj 0 -14 Td (c line) Tj ET"
+    )
+    blocks = parse_pdf_layout(_hand_pdf(content))
+    assert len(blocks) == 1
+    assert blocks[0].n_lines == 3
+    assert blocks[0].y_top == 720.0 and blocks[0].y_bottom == 692.0
+
+
+def test_layout_fixture_roundtrip_all_styles():
+    from fuzi_rd.pdf import parse_pdf_layout, pdf_text
+    from fuzi_rd.sources.pdfs import make_pdf
+
+    # every advance style (Td / T* / ' / Tm) via different seqs; block
+    # texts joined in order must reproduce the flat extraction exactly
+    text = "\n".join(f"line {i} with some words" for i in range(9))
+    for seq in range(8):
+        pdf = make_pdf(text, seq=seq)
+        blocks = parse_pdf_layout(pdf)
+        assert blocks, seq
+        assert "\n".join(b.text for b in blocks) == pdf_text(pdf), seq
+        # per-page block indexes are dense from 0
+        from collections import defaultdict
+
+        per_page = defaultdict(list)
+        for b in blocks:
+            per_page[b.page].append(b.block_idx)
+        for idxs in per_page.values():
+            assert idxs == list(range(len(idxs)))
+
+
+def test_layout_stage_over_dataset(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.sources.pdfs import make_pdf
+    from fuzi_rd.stages.pdf_extract import pdf_layout_dataset
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "pdf": pa.array(
+                [make_pdf("alpha\nbeta", seq=1), b"not a pdf", make_pdf("gamma", seq=2)],
+                pa.binary(),
+            ),
+        }
+    )
+    out = pdf_layout_dataset(
+        ray.data.from_arrow(tbl), batch_size=2, concurrency=1
+    ).take_all()
+    ids = sorted({r["doc_id"] for r in out})
+    assert ids == [1, 3]  # malformed doc 2 contributes zero rows
+    d1 = "\n".join(
+        r["text"] for r in sorted(
+            (r for r in out if r["doc_id"] == 1),
+            key=lambda r: (r["page"], r["block_idx"]),
+        )
+    )
+    assert d1 == "alpha\nbeta"
