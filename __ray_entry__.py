@@ -1336,6 +1336,23 @@ def _q_embedding_clusters(sf_dir: str):
     return assigned.select_columns(["vec_id", "bucket"])
 
 
+def _q_postings_lookup(sf_dir: str):
+    """Inverted-index build + bucket-pruned lookup: postings written as
+    parquet PARTITIONED by token-hash bucket (hive layout), then one
+    token's postings read from exactly ONE bucket directory — file-level
+    read pruning, the index analog of partition-pruned resume.  The
+    lookup result is oracle-checkable: (doc_id, tf) for the query token
+    equals a DuckDB per-document count."""
+    import pathlib
+
+    from fuzi_rd.functions.postings import build_postings, lookup_token
+
+    tier = pathlib.Path(sf_dir).name or "sf"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = build_postings(ds, f"/tmp/fuzi_rd_postings_{tier}")
+    return lookup_token(idx, "the")
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch watchlist counting: corpus reduces to ONE
     (depth x width) counter matrix via accumulate + elementwise-add tree
@@ -1994,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "sitemap_ingest": _q_sitemap_ingest,
         "frontier_urls": _q_frontier_urls,
+        "postings_lookup": _q_postings_lookup,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_keep": _q_minhash_keep,
@@ -2398,6 +2416,15 @@ def oracle_sql() -> dict[str, str]:
                    sum(milli) AS surprisal_milli,
                    sum(milli) // count(*) AS mean_surprisal_milli
             FROM scored
+            GROUP BY doc_id
+        """,
+        "postings_lookup": r"""
+            SELECT doc_id, count(*) AS tf FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ) t
+            WHERE token = 'the'
             GROUP BY doc_id
         """,
         "logodds_score": r"""

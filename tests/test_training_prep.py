@@ -331,3 +331,89 @@ def test_cms_deterministic_and_empty(ray_session):
     out = cms_token_counts(ray.data.from_arrow(empty), ["a"])
     assert out.column("est_count").to_pylist() == [0]
     assert out.column("total_tokens").to_pylist() == [0]
+
+
+def test_decontam_matches_bruteforce_on_random_corpus(ray_session):
+    """Differential: fingerprint-probe result == direct n-gram set math."""
+    import random
+
+    import ray
+
+    from fuzi_rd.functions.decontam import decontam_keep
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab -> real collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    bench = [
+        (1000 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25))))
+        for i in range(10)
+    ]
+    w = 5
+
+    def grams(text):
+        toks = text.lower().split()
+        return {tuple(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench)) if bench else set()
+    want = sorted(
+        i for i, t in docs if not (grams(t) & bench_grams)
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in decontam_keep(
+            ray.data.from_arrow(_docs(docs)),
+            ray.data.from_arrow(_docs(bench)),
+            w=w,
+        ).take_all()
+    )
+    assert got == want
+
+
+# -- postings index -----------------------------------------------------------
+
+
+def test_postings_build_and_pruned_lookup(ray_session, tmp_path):
+    import pathlib
+
+    import ray
+
+    from fuzi_rd.functions.postings import (
+        build_postings,
+        lookup_token,
+        token_bucket,
+    )
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple"),
+        (4, "unrelated words entirely"),
+    ]
+    idx = build_postings(
+        ray.data.from_arrow(_docs(docs)), str(tmp_path / "idx"), n_buckets=8
+    )
+    # hive layout: one bucket=K dir per occupied bucket, plus _DONE
+    buckets = sorted(p.name for p in pathlib.Path(idx).iterdir())
+    assert "_DONE" in buckets
+    assert all(b.startswith("bucket=") for b in buckets if b != "_DONE")
+
+    got = sorted(
+        (r["doc_id"], r["tf"]) for r in lookup_token(idx, "apple", n_buckets=8).take_all()
+    )
+    assert got == [(1, 2), (3, 1)]
+    # a token hashing to a bucket with no postings yields empty, not error
+    for probe in ("zzzmissing", "qqq", "absent"):
+        rows = lookup_token(idx, probe, n_buckets=8).take_all()
+        assert rows == [] or all(False for _ in rows)
+
+    # the lookup reads ONLY the token's bucket directory
+    b = token_bucket("apple", 8)
+    assert (pathlib.Path(idx) / f"bucket={b}").exists()
+
+    # idempotent: rebuild is a no-op (marker short-circuits)
+    assert build_postings(
+        ray.data.from_arrow(_docs(docs)), str(tmp_path / "idx"), n_buckets=8
+    ) == idx
