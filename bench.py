@@ -169,6 +169,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "sitemap_ingest",
         "cms_counts",
         "pdf_layout",
+        "postings_lookup",
     ]
     times = {}
     for name in picked:
