@@ -2359,7 +2359,8 @@ def oracle_sql() -> dict[str, str]:
         "host_rollup": f"""
             WITH u AS ({_DOC_URL_SQL}),
             d AS ({_DOMAIN_SQL})
-            SELECT domain, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT domain, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM d GROUP BY domain
         """,
         "robots_filter": r"""
@@ -2376,7 +2377,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_rollup": r"""
             SELECT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
             FROM events
             GROUP BY 1
         """,
@@ -2413,8 +2415,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    count(*) AS n_tokens,
-                   sum(milli) AS surprisal_milli,
-                   sum(milli) // count(*) AS mean_surprisal_milli
+                   CAST(sum(milli) AS BIGINT) AS surprisal_milli,
+                   CAST(sum(milli) // count(*) AS BIGINT)
+                       AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
         """,
@@ -2463,13 +2466,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    count(*) AS n_tokens,
-                   sum(milli) AS logodds_milli,
+                   CAST(sum(milli) AS BIGINT) AS logodds_milli,
                    -- FLOOR division (Python semantics): subtract the
                    -- positive mod first so negative sums round down, not
                    -- toward zero like DuckDB's bare //
-                   (sum(milli)
+                   CAST((sum(milli)
                     - ((sum(milli) % count(*) + count(*)) % count(*)))
-                   // count(*) AS mean_logodds_milli
+                   // count(*) AS BIGINT) AS mean_logodds_milli
             FROM scored
             GROUP BY doc_id
         """,
@@ -2485,10 +2488,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             o AS (
               SELECT doc_id, bin, n_tokens,
-                     coalesce(SUM(n_tokens) OVER (
+                     CAST(coalesce(SUM(n_tokens) OVER (
                          PARTITION BY bin ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS tok_offset
+                                  AND 1 PRECEDING), 0) AS BIGINT)
+                         AS tok_offset
               FROM s
             )
             SELECT doc_id, bin, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -2663,7 +2667,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start_us,
                    count(*) AS n_events,
-                   sum(vm) AS total_value_milli
+                   CAST(sum(vm) AS BIGINT) AS total_value_milli
             FROM x GROUP BY 1
         """,
         "user_sessions": """

@@ -39,17 +39,45 @@ def to_arrow(result) -> pa.Table:
     raise TypeError(type(result))
 
 
+def _norm_type(t: pa.DataType) -> pa.DataType:
+    """Normalize only the arrow variants that hash identically everywhere
+    (large_string/string, large_binary/binary); everything else — notably
+    decimal128 vs int64 from an uncast DuckDB SUM() — must match exactly,
+    because the driver's value hash is type-sensitive."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    return t
+
+
+def dtype_mismatches(got: pa.Table, want: pa.Table) -> list[str]:
+    out = []
+    for c in sorted(got.column_names):
+        a = _norm_type(got.schema.field(c).type)
+        b = _norm_type(want.schema.field(c).type)
+        if a != b:
+            out.append(f"{c}: ray={a} sql={b}")
+    return out
+
+
 def canon(tbl: pa.Table) -> list[tuple]:
-    """Column-name-sorted, row-sorted, stringified values (ints exact,
-    floats repr-rounded) — mirrors the driver's value-hash comparison."""
+    """Column-name-sorted, row-sorted, TYPE-TAGGED values (ints exact,
+    floats repr-rounded) — at least as strict as the driver's
+    type-sensitive value-hash comparison.  Each cell is (type_name, value)
+    so Decimal(511) != 511 here, exactly as in the driver's hash."""
     cols = sorted(tbl.column_names)
     tbl = tbl.select(cols)
     rows = []
     for row in tbl.to_pylist():
         rows.append(
             tuple(
-                (round(v, 6) if isinstance(v, float) else v) for v in
-                (row[c] for c in cols)
+                (
+                    ("float", round(v, 6))
+                    if isinstance(v, float)
+                    else (type(v).__name__, v)
+                )
+                for v in (row[c] for c in cols)
             )
         )
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
@@ -104,6 +132,11 @@ def main() -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows ray={len(got)} sql={len(want)}")
+            failures += 1
+            continue
+        bad_types = dtype_mismatches(got, want)
+        if bad_types:
+            print(f"FAIL {name}: dtype mismatch {'; '.join(bad_types)}")
             failures += 1
             continue
         cg, cw = canon(got), canon(want)
