@@ -39,6 +39,10 @@ BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "1000000"))
 SCALING_PAGE_ROWS = int(os.environ.get("FUZI_SCALING_PAGES", "8000000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# default-bench headline attempts (fastest reported, all recorded): a
+# single run on this shared steal-prone VM is not interpretable (see
+# main_bench docstring)
+HEADLINE_BEST_OF = int(os.environ.get("FUZI_HEADLINE_BEST_OF", "2"))
 
 
 def _ensure_pages(n_rows: int) -> str:
@@ -182,6 +186,15 @@ def run_query_bench(sf_dir: str) -> dict:
 
 
 def main_bench() -> None:
+    """Default bench.  The headline extraction job runs HEADLINE_BEST_OF
+    times with a _LegMonitor attached (co-tenant + hypervisor-steal cores
+    averaged over the run, attributed against this process's own subtree);
+    the fastest attempt is the headline and EVERY attempt's throughput +
+    contamination sample is recorded in the JSON.  On this steal-prone
+    shared VM a single-run headline is not interpretable — round 3's
+    driver window measured the identical code 2x slower than a same-day
+    clean run; these fields make a contaminated window visible in the
+    bench JSON itself."""
     import ray
 
     ray.init(
@@ -190,7 +203,15 @@ def main_bench() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
     )
-    ext = run_extraction_bench(NUM_CPUS)
+    host_cores = set(range(os.cpu_count() or NUM_CPUS))
+    attempts = []
+    for _ in range(HEADLINE_BEST_OF):
+        mon = _LegMonitor(host_cores)
+        mon.start(os.getpid())
+        ext = run_extraction_bench(NUM_CPUS)
+        stats = mon.finish()
+        attempts.append((ext, stats))
+    ext, ext_stats = max(attempts, key=lambda a: a[0]["docs_per_sec"])
     queries = {"extract_pages": round(ext["wall_s"], 3)}
     queries.update(run_query_bench(SF_DIR))
     out = {
@@ -206,6 +227,22 @@ def main_bench() -> None:
         "docs_per_sec": round(ext["docs_per_sec"], 1),
         "mb_per_sec": round(ext["mb_per_sec"], 2),
         "n_pages": ext["n_pages"],
+        # contamination evidence for the reported (fastest) attempt:
+        # co-tenant cores = busy cores on the host NOT attributable to this
+        # process subtree; steal = hypervisor time taken from this guest.
+        "cotenant_cores": ext_stats["cotenant_cores"],
+        "steal_cores": ext_stats["steal_cores"],
+        "self_util": ext_stats["self_util"],
+        "headline_attempts": [
+            {
+                "wall_s": round(r["wall_s"], 3),
+                "docs_per_sec": round(r["docs_per_sec"], 1),
+                "cotenant_cores": s["cotenant_cores"],
+                "steal_cores": s["steal_cores"],
+                "self_util": s["self_util"],
+            }
+            for r, s in attempts
+        ],
     }
     print(json.dumps(out))
     ray.shutdown()
@@ -437,12 +474,30 @@ def main_scaling() -> None:
     for cpus in (8, 32):
         results[cpus], monitors[cpus], logs[cpus] = _run_leg(cpus, n_host)
     eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+
+    # median over CLEAN attempts, reported next to the per-leg max so
+    # cross-round comparisons aren't max-vs-single-run (the max is still
+    # the headline: noise only subtracts throughput on this box)
+    def _median_clean(cpus: int) -> float:
+        import statistics
+
+        vals = [
+            a["docs_per_sec"]
+            for a in logs[cpus]
+            if a["cotenant_cores"] <= COTENANT_LIMIT
+        ] or [results[cpus]["docs_per_sec"]]
+        return round(statistics.median(vals), 1)
+
+    med8, med32 = _median_clean(8), _median_clean(32)
     out = {
         "metric": "scaling efficiency 8->32 cpus (fresh processes, identical input)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "docs_per_sec_8": round(results[8]["docs_per_sec"], 1),
         "docs_per_sec_32": round(results[32]["docs_per_sec"], 1),
+        "docs_per_sec_median_8": med8,
+        "docs_per_sec_median_32": med32,
+        "value_median": round(med32 / (4 * med8), 3),
         "wall_s_8": round(results[8]["wall_s"], 2),
         "wall_s_32": round(results[32]["wall_s"], 2),
         "cotenant_cores_8leg": monitors[8]["cotenant_cores"],
@@ -477,6 +532,11 @@ def _record_scaling(out: dict) -> None:
         f" {out.get('self_util_32leg', 'n/a')} |\n",
         f"\nEfficiency (docs/s@32) / (4 x docs/s@8) = **{out['value']}**"
         f" (target >= 0.8) over {out['n_pages']} identical synthesized pages.\n",
+        f"Median-of-clean-attempts: 8-leg {out.get('docs_per_sec_median_8', 'n/a')}"
+        f" docs/s, 32-leg {out.get('docs_per_sec_median_32', 'n/a')} docs/s,"
+        f" efficiency {out.get('value_median', 'n/a')} (recorded alongside the"
+        " per-leg-max headline so cross-round comparisons aren't"
+        " max-vs-single-run).\n",
     ]
     for leg in (8, 32):
         log = out.get(f"attempts_{leg}leg") or []
