@@ -1839,9 +1839,10 @@ def _q_unigram_lm(sf_dir: str):
     from fuzi_rd.functions.lm_score import unigram_logprob
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    # max_token_chars=None: exact whitespace tokenization for oracle parity
-    # (production default caps degenerate over-long tokens).
-    return unigram_logprob(ds, max_token_chars=None)
+    # top_k=None + max_token_chars=None: exact uncapped fit for oracle
+    # parity (production defaults cap the broadcast vocabulary and drop
+    # degenerate over-long tokens).
+    return unigram_logprob(ds, top_k=None, max_token_chars=None)
 
 
 def _q_logodds_score(sf_dir: str):
@@ -1865,7 +1866,8 @@ def _q_logodds_score(sf_dir: str):
         return b.append_column("is_good", pa.array(ids % 7 != 0))
 
     labeled = ds.map_batches(_label, batch_format="pyarrow")
-    return logodds_score(labeled, max_token_chars=None)
+    # top_k=None: exact uncapped fit for oracle parity (see unigram_lm)
+    return logodds_score(labeled, top_k=None, max_token_chars=None)
 
 
 def _q_pack_layout(sf_dir: str):

@@ -44,6 +44,15 @@ _TOKEN_RE = re.compile(r"\s+")
 # megabyte key.  The oracle query passes None (exact, whitespace-only).
 DEFAULT_MAX_TOKEN_CHARS = 1024
 
+# broadcast-vocabulary cap, ON by default (same production-default rule):
+# the fit pulls the vocabulary to the driver and ray.put()s it as ONE
+# object, so an uncapped fit over a crawl-scale corpus is an unbounded
+# driver-memory hazard.  2M entries ≈ a few hundred MB worst case — large
+# enough that capping changes nothing on any real natural-language corpus
+# (tokens outside the cap score as OOV), small enough to be safe.  The two
+# oracle queries pass ``None`` explicitly (exact, DuckDB-checkable).
+DEFAULT_TOP_K = 2_000_000
+
 
 def _tokens(text: str, max_chars: int | None) -> list[str]:
     # mirrors the oracle-proven textstats convention:
@@ -72,7 +81,7 @@ def _count_batch(batch: pa.Table, text_col: str, max_chars: int | None) -> pa.Ta
 def fit_unigram_vocab(
     ds,
     text_col: str = "text",
-    top_k: int | None = None,
+    top_k: int | None = DEFAULT_TOP_K,
     max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
 ):
     """Fit the unigram model; returns ``(vocab: dict[str, int], total: int)``.
@@ -93,7 +102,8 @@ def fit_unigram_vocab(
     agg = counts.groupby("tok").aggregate(Sum("c", alias_name="c")).materialize()
     total = int(agg.sum("c") or 0)
     if top_k is not None:
-        agg = agg.sort("c", descending=True).limit(top_k)
+        # tok tie-break keeps the capped vocabulary deterministic
+        agg = agg.sort(["c", "tok"], descending=[True, False]).limit(top_k)
     vocab = {
         r["tok"]: int(r["c"]) for r in agg.iter_rows()
     }
@@ -153,7 +163,7 @@ def unigram_logprob(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
-    top_k: int | None = None,
+    top_k: int | None = DEFAULT_TOP_K,
     max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
     concurrency: int | None = None,
     batch_size: int = 4096,
@@ -220,7 +230,7 @@ def fit_logodds_weights(
     ds,
     text_col: str = "text",
     label_col: str = "is_good",
-    top_k: int | None = None,
+    top_k: int | None = DEFAULT_TOP_K,
     max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
 ):
     """Fit per-token log-odds weights from a bool-labeled corpus; returns
@@ -252,24 +262,50 @@ def fit_logodds_weights(
     good_tot = int(agg.sum("gc") or 0)
     bad_tot = int(agg.sum("bc") or 0)
     v = agg.count()
-    rows = list(agg.iter_rows())
+
+    # weights are computed INSIDE the dataset (the class totals broadcast
+    # as three closure ints) and the top_k cap applies dataset-side via
+    # sort+limit, so the driver only ever pulls the capped vocabulary —
+    # with the default cap the driver pull is bounded at any corpus size.
     # float() each side BEFORE dividing — DuckDB's BIGINT/BIGINT division
     # casts to DOUBLE then divides, and above 2^53 that differs from
     # Python's correctly-rounded int/int; mirroring the cast keeps the
     # oracle bit-exact at any corpus size
-    weights = {
-        r["tok"]: math.floor(
-            1000.0
-            * math.log(
-                float((int(r["gc"]) + 1) * (bad_tot + v))
-                / float((int(r["bc"]) + 1) * (good_tot + v))
+    def _weigh(b: pa.Table) -> pa.Table:
+        milli = [
+            math.floor(
+                1000.0
+                * math.log(
+                    float((g + 1) * (bad_tot + v))
+                    / float((bad + 1) * (good_tot + v))
+                )
             )
+            for g, bad in zip(b.column("gc").to_pylist(), b.column("bc").to_pylist())
+        ]
+        return pa.table(
+            {
+                "tok": b.column("tok"),
+                "milli": pa.array(milli, pa.int64()),
+            }
         )
-        for r in rows
-    }
-    if top_k is not None and len(weights) > top_k:
-        keep = sorted(weights, key=lambda t: (-abs(weights[t]), t))[:top_k]
-        weights = {t: weights[t] for t in keep}
+
+    wt = agg.map_batches(_weigh, batch_format="pyarrow")
+    if top_k is not None:
+        import pyarrow.compute as pc
+
+        wt = (
+            wt.map_batches(
+                # ascending sort key = (-|milli|, tok): the K most
+                # discriminative tokens, deterministic tie-break
+                lambda b: b.append_column(
+                    "neg_abs", pc.negate_checked(pc.abs_checked(b.column("milli")))
+                ),
+                batch_format="pyarrow",
+            )
+            .sort(["neg_abs", "tok"])
+            .limit(top_k)
+        )
+    weights = {r["tok"]: int(r["milli"]) for r in wt.iter_rows()}
     oov = math.floor(1000.0 * math.log(float(bad_tot + v) / float(good_tot + v)))
     return weights, oov
 
@@ -318,7 +354,7 @@ def logodds_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "is_good",
-    top_k: int | None = None,
+    top_k: int | None = DEFAULT_TOP_K,
     max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
     concurrency: int | None = None,
     batch_size: int = 4096,

@@ -68,6 +68,48 @@ def test_top_k_cap_and_oov(ray_session):
     assert by_id[1]["surprisal_milli"] == m_common + oov
 
 
+def test_default_fit_is_bounded(ray_session):
+    """Production defaults must not ship the unbounded-driver-dict hazard:
+    both fits default to a finite top_k, and a high-cardinality corpus fit
+    with an explicit cap pulls at most cap entries to the driver."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import (
+        DEFAULT_TOP_K,
+        fit_logodds_weights,
+        fit_unigram_vocab,
+    )
+
+    assert DEFAULT_TOP_K is not None and DEFAULT_TOP_K > 0
+
+    # 5000 distinct tokens, one common token to anchor determinism
+    texts = [
+        " ".join(f"tok{j}" for j in range(i * 50, (i + 1) * 50)) + " common"
+        for i in range(100)
+    ]
+    ds = _docs_ds(ray, texts)
+    vocab, total = fit_unigram_vocab(ds, top_k=64)
+    assert len(vocab) <= 64
+    assert total == 100 * 51  # total is pre-cap
+    assert "common" in vocab  # most frequent survives the cap
+
+    labeled = ds.map_batches(
+        lambda b: b.append_column(
+            "is_good", pa.array([bool(i % 2) for i in b.column("doc_id").to_pylist()])
+        ),
+        batch_format="pyarrow",
+    )
+    weights, oov = fit_logodds_weights(labeled, top_k=64)
+    assert len(weights) <= 64
+    # capped weights agree with the uncapped fit on every retained token
+    full, oov_full = fit_logodds_weights(labeled, top_k=None)
+    assert oov == oov_full
+    assert all(full[t] == w for t, w in weights.items())
+    # and they are the most discriminative ones ((-|w|, tok) order)
+    expect = set(sorted(full, key=lambda t: (-abs(full[t]), t))[:64])
+    assert set(weights) == expect
+
+
 def test_degenerate_doc_scores_low(ray_session):
     """A doc repeating the corpus's most common token scores a lower mean
     surprisal than a doc of rare tokens — the signal the filter uses."""
