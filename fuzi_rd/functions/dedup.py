@@ -351,72 +351,104 @@ def paragraph_dedup_keep(ds, sep: str = "\n\n", num_partitions: int | None = Non
     was seen earlier is absent from the output entirely.  Repeated
     paragraphs WITHIN one document also dedup (first occurrence wins).
 
-    Scale shape: three exchanges, none driver-side — (1) the winner scan
-    shuffles (16-byte md5, packed int64) pairs only; (2) paragraph text
-    crosses one hash join keyed on the digest; (3) reassembly shuffles the
-    SURVIVING text once, keyed by doc_id.  Boilerplate-heavy crawls shrink
-    between (2) and (3) — duplicates are dropped before the reassembly
-    exchange."""
-    import pyarrow.compute as pc
+    Scale shape — corpus text crosses exactly ONE exchange: (1) the winner
+    scan shuffles (16-byte md5, packed int64) pairs only, and its
+    ``min(packed)`` output IS the survivor key set — no join needed to find
+    survivors; (2) survivor keys unpack to (doc_id, para_idx) and aggregate
+    into one fixed-width keep-set blob per doc (int64-key shuffle); (3) one
+    doc_id hash join of documents against their keep-set rows — the only
+    exchange text rides — then reassembly is row-local (re-split, filter by
+    keep set, re-join), no further shuffle."""
 
-    def _paras(batch: pa.Table) -> pa.Table:
-        ids, idxs, hashes, paras = [], [], [], []
+    def _keys(batch: pa.Table) -> pa.Table:
+        """(para_hash, packed) fixed-width rows; text stays behind."""
+        hashes, packed = [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            for i, p in enumerate((text or "").split(sep)):
-                ids.append(doc_id)
-                idxs.append(i)
+            if doc_id >= 1 << (63 - _PARA_SHIFT) or doc_id < 0:
+                raise ValueError(
+                    f"doc_id {doc_id} out of packed-key range "
+                    f"(< 2^{63 - _PARA_SHIFT})"
+                )
+            paras = (text or "").split(sep)
+            if len(paras) > 1 << _PARA_SHIFT:
+                raise ValueError(
+                    f"doc {doc_id} has {len(paras)} paragraphs; packed key "
+                    f"supports at most 2^{_PARA_SHIFT} — raise _PARA_SHIFT "
+                    "or pre-chunk the document"
+                )
+            base = doc_id << _PARA_SHIFT
+            for i, p in enumerate(paras):
                 hashes.append(hashlib.md5(p.encode("utf-8")).hexdigest())
-                paras.append(p)
-        packed = [
-            (d << _PARA_SHIFT) | i for d, i in zip(ids, idxs)
-        ]
+                packed.append(base | i)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "para_idx": pa.array(idxs, pa.int64()),
-                "packed": pa.array(packed, pa.int64()),
                 "para_hash": pa.array(hashes, pa.string()),
-                "para": pa.array(paras, pa.string()),
+                "packed": pa.array(packed, pa.int64()),
             }
         )
 
     P = _semi_join_partitions(num_partitions)
-    paras = ds.map_batches(_paras, batch_format="pyarrow")
-
-    def _key_cols(batch: pa.Table) -> pa.Table:
-        return batch.select(["para_hash", "packed"])
-
     winners = _compact(
-        paras.map_batches(_key_cols, batch_format="pyarrow")
+        ds.map_batches(_keys, batch_format="pyarrow")
         .groupby("para_hash")
         .min("packed")
     )
-    joined = paras.join(
-        winners, join_type="inner", num_partitions=P, on=("para_hash",)
-    )
 
-    def _survivors(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(
-            pc.equal(batch.column("packed"), batch.column("min(packed)"))
-        )
-        return keep.select(["doc_id", "para_idx", "para"])
-
-    kept = joined.map_batches(_survivors, batch_format="pyarrow")
-
-    def _reassemble(group: pa.Table) -> pa.Table:
-        group = group.sort_by("para_idx")
+    def _unpack(batch: pa.Table) -> pa.Table:
+        keys = batch.column("min(packed)").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": group.column("doc_id").slice(0, 1),
-                "text": pa.array(
-                    [sep.join(group.column("para").to_pylist())], pa.string()
+                "doc_id": pa.array(keys >> _PARA_SHIFT, pa.int64()),
+                "para_idx": pa.array(
+                    keys & ((1 << _PARA_SHIFT) - 1), pa.int64()
                 ),
             }
         )
 
-    return kept.groupby("doc_id").map_groups(_reassemble, batch_format="pyarrow")
+    def _keep_blob(group: pa.Table) -> pa.Table:
+        idx = np.sort(group.column("para_idx").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                # acero rejects list payloads in join non-key fields; a
+                # binary blob of sorted int64 indices rides the join fine
+                "keep_idx": pa.array([idx.astype(np.int64).tobytes()], pa.large_binary()),
+            }
+        )
+
+    keep_sets = _compact(
+        winners.map_batches(_unpack, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(_keep_blob, batch_format="pyarrow")
+    )
+
+    joined = ds.join(
+        keep_sets, join_type="inner", num_partitions=P, on=("doc_id",)
+    )
+
+    def _rebuild(batch: pa.Table) -> pa.Table:
+        out_ids, out_texts = [], []
+        for doc_id, text, blob in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("keep_idx").to_pylist(),
+        ):
+            keep = frozenset(np.frombuffer(blob, dtype=np.int64).tolist())
+            paras = (text or "").split(sep)
+            out_ids.append(doc_id)
+            out_texts.append(
+                sep.join(p for i, p in enumerate(paras) if i in keep)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    return joined.map_batches(_rebuild, batch_format="pyarrow")
 
 
 # -- MinHash -----------------------------------------------------------------

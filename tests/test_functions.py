@@ -129,6 +129,28 @@ def test_paragraph_dedup_keep(ray_session):
     assert got == {0: "boiler\n\nunique a", 1: "unique b"}
 
 
+def test_paragraph_dedup_packed_key_guards(ray_session):
+    """The packed (doc_id << 20) | para_idx key raises loudly instead of
+    silently bleeding para_idx into doc_id bits (ADVICE r3)."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    too_many = "\n\n" * (1 << 20)  # 2^20 + 1 paragraphs
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": [too_many]})
+    )
+    with pytest.raises(Exception, match="paragraphs"):
+        dedup.paragraph_dedup_keep(ds).take_all()
+
+    big_id = 1 << 43
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([big_id], pa.int64()), "text": ["x"]})
+    )
+    with pytest.raises(Exception, match="packed-key range"):
+        dedup.paragraph_dedup_keep(ds2).take_all()
+
+
 def test_stopword_stats_batch():
     """Stopword signal: vectorized word-boundary count + exact milli ratio
     (oracle-checked too)."""
