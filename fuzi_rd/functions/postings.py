@@ -44,30 +44,62 @@ def token_bucket(token: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
 
 
 def postings_batch(text_col: str, doc_col: str, n_buckets: int):
+    """Per-batch combiner: (token, doc, tf) rows, fully vectorized —
+    dictionary-encode the flattened tokens, lexsort (doc, code), run-length
+    encode the runs.  md5 bucketing runs once per DISTINCT token in the
+    batch (the dictionary), not once per output row."""
+
     def _p(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int32()),
+                doc_col: pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
         toks = pc.split_pattern_regex(
             pc.utf8_lower(batch.column(text_col)), TOKEN_SPLIT_PATTERN
         )
-        ids = batch.column(doc_col).to_pylist()
-        out_tok: list[str] = []
-        out_doc: list[int] = []
-        out_tf: list[int] = []
-        for doc_id, doc_toks in zip(ids, toks.to_pylist()):
-            counts: dict[str, int] = {}
-            for t in doc_toks:
-                if t:
-                    counts[t] = counts.get(t, 0) + 1
-            out_tok.extend(counts.keys())
-            out_doc.extend([doc_id] * len(counts))
-            out_tf.extend(counts.values())
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        if len(flat) == 0:
+            return empty
+        parents_np = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+
+        order = np.lexsort((codes, parents_np))
+        p_s, c_s = parents_np[order], codes[order]
+        run_start = np.empty(len(p_s), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(run_start)
+        tf = np.diff(np.append(starts, len(p_s)))
+
+        doc_ids = batch.column(doc_col).to_numpy(zero_copy_only=False)
+        out_codes = c_s[starts]
+        bucket_per_vocab = np.array(
+            [token_bucket(t, n_buckets) for t in vocab.to_pylist()],
+            dtype=np.int32,
+        )
         return pa.table(
             {
-                "token": pa.array(out_tok, pa.string()),
-                "bucket": pa.array(
-                    [token_bucket(t, n_buckets) for t in out_tok], pa.int32()
-                ),
-                doc_col: pa.array(out_doc, pa.int64()),
-                "tf": pa.array(out_tf, pa.int64()),
+                "token": pc.take(vocab, pa.array(out_codes, pa.int64())),
+                "bucket": pa.array(bucket_per_vocab[out_codes], pa.int32()),
+                doc_col: pa.array(doc_ids[p_s[starts]], pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
             }
         )
 
@@ -84,16 +116,26 @@ def build_postings(
     """Write the bucket-partitioned postings index; returns ``out_dir``.
 
     Idempotent per directory (a ``_DONE`` marker skips rebuilds — delete
-    the directory to rebuild after a corpus change)."""
+    the directory to rebuild after a corpus change).  Crash-safe: the
+    index is written into a sibling temp directory and renamed into place,
+    so a run that dies mid-write never leaves partial bucket files where
+    the next build would append a second copy on top of them."""
+    import shutil
+
     out = pathlib.Path(out_dir)
     done = out / "_DONE"
     if done.exists():
         return str(out)
+    tmp = out.with_name(out.name + "._building")
+    shutil.rmtree(tmp, ignore_errors=True)
     rows = ds.map_batches(
         postings_batch(text_col, doc_col, n_buckets), batch_format="pyarrow"
     )
-    rows.write_parquet(str(out), partition_cols=["bucket"])
-    done.write_bytes(b"")
+    rows.write_parquet(str(tmp), partition_cols=["bucket"])
+    (tmp / "_DONE").write_bytes(b"")
+    if out.exists():  # stale partial build (no _DONE): replace it
+        shutil.rmtree(out)
+    tmp.rename(out)
     return str(out)
 
 

@@ -417,3 +417,25 @@ def test_postings_build_and_pruned_lookup(ray_session, tmp_path):
     assert build_postings(
         ray.data.from_arrow(_docs(docs)), str(tmp_path / "idx"), n_buckets=8
     ) == idx
+
+
+def test_postings_rebuild_replaces_partial_build(ray_session, tmp_path):
+    """A crash between write and _DONE leaves partial bucket files; the
+    next build must REPLACE them, not append a second copy (ADVICE r3)."""
+    import pathlib
+
+    import ray
+
+    from fuzi_rd.functions.postings import build_postings, lookup_token
+
+    docs = [(1, "apple banana"), (2, "apple")]
+    idx = pathlib.Path(tmp_path / "idx")
+    build_postings(ray.data.from_arrow(_docs(docs)), str(idx), n_buckets=4)
+    # simulate the crash: data present, marker missing
+    (idx / "_DONE").unlink()
+    build_postings(ray.data.from_arrow(_docs(docs)), str(idx), n_buckets=4)
+    got = sorted(
+        (r["doc_id"], r["tf"])
+        for r in lookup_token(str(idx), "apple", n_buckets=4).take_all()
+    )
+    assert got == [(1, 1), (2, 1)]  # no duplicated postings
