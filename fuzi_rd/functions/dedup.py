@@ -268,13 +268,15 @@ def bloom_cross_corpus_keep(
     removes the false positives and makes the output exact.
 
     The two output branches (bloom-negative pass-through; bloom-positive
-    confirm join) are separate consumers of the probe stage, and Ray Data
-    re-executes the probe per consumer — i.e. the new crawl is read+hashed
-    twice in exchange for shuffling only the candidate sliver.  The probe
-    is a TASK stage (not an actor pool): mixing an actor-pool stage with a
-    hash join in one union plan can starve a small session (see the plan
-    notes on ``_compact``), and the per-task ``ray.get`` of the broadcast
-    bitmap is a zero-copy local object-store read."""
+    confirm join) consume ONE materialized probe pass: the probed blocks
+    live in the (spillable) object store and each branch filters them,
+    so the new crawl is read+hashed exactly once.  Without the
+    materialize, Ray Data's lazy plan would re-execute the whole
+    read+probe per consumer — the round-3 read-amplification flag.  The
+    probe is a TASK stage (not an actor pool): mixing an actor-pool stage
+    with a hash join in one union plan can starve a small session (see
+    the plan notes on ``_compact``), and the per-task ``ray.get`` of the
+    broadcast bitmap is a zero-copy local object-store read."""
     import ray
 
     bitmap = bloom_build(ref_ds, text_col, n_bits, n_hashes)
@@ -305,12 +307,9 @@ def bloom_cross_corpus_keep(
     def _positives(b: pa.Table) -> pa.Table:
         return b.filter(b.column("__bloom_hit")).drop_columns(["__bloom_hit"])
 
-    definitely_new = new_ds.map_batches(_probe, batch_format="pyarrow").map_batches(
-        _negatives, batch_format="pyarrow"
-    )
-    candidates = new_ds.map_batches(_probe, batch_format="pyarrow").map_batches(
-        _positives, batch_format="pyarrow"
-    )
+    probed = new_ds.map_batches(_probe, batch_format="pyarrow").materialize()
+    definitely_new = probed.map_batches(_negatives, batch_format="pyarrow")
+    candidates = probed.map_batches(_positives, batch_format="pyarrow")
     confirmed_new = cross_corpus_dedup_keep(
         candidates, ref_ds, text_col, num_partitions
     )

@@ -238,6 +238,29 @@ def test_bloom_cross_corpus_keep_exact(ray_session):
     assert got == [i for i in range(300) if i % 3 != 0]
 
 
+def test_bloom_probe_runs_once(ray_session):
+    """Plan-shape guard (VERDICT r3 item 6): the probe pass is materialized
+    and both output branches consume the cached blocks — the returned plan
+    must contain NO probe MapBatches (it already ran), so the new crawl is
+    read+hashed once, not once per branch."""
+    import ray
+
+    new = ray.data.from_arrow(_docs_table([f"doc {i}" for i in range(50)]))
+    ref = ray.data.from_arrow(
+        _docs_table([f"doc {i}" for i in range(0, 50, 5)], start_id=1000)
+    )
+    out = dedup.bloom_cross_corpus_keep(new, ref, n_bits=1 << 10)
+    names = []
+
+    def walk(op):
+        names.append(getattr(op, "name", type(op).__name__))
+        for dep in op.input_dependencies:
+            walk(dep)
+
+    walk(out._logical_plan.dag)
+    assert not any("_probe" in n for n in names), names
+
+
 def test_bloom_cross_corpus_keep_empty_ref(ray_session):
     import ray
 
