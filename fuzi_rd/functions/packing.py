@@ -38,7 +38,10 @@ import pyarrow.compute as pc
 
 
 def _counts_batch(batch: pa.Table, doc_col: str, text_col: str, n_bins: int):
-    text = batch.column(text_col)
+    # null text counts as zero tokens (the (t or '') convention); without
+    # this a null row's null n_tokens becomes NaN in the per-bin cumsum
+    # and corrupts every later offset in the bin
+    text = pc.fill_null(batch.column(text_col), "")
     n_tokens = pc.list_value_length(
         pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
     )

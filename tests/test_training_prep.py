@@ -57,6 +57,30 @@ def test_pack_layout_prefix_sums_and_boundaries(ray_session):
         assert r["offset_in_pack"] == r["tok_offset"] % 5
 
 
+def test_pack_layout_null_text_is_zero_tokens(ray_session):
+    """A null text row must count 0 tokens, not poison the bin's cumsum
+    with NaN offsets (ADVICE r3)."""
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.functions.packing import pack_layout
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 4, 8], pa.int64()),
+            "text": pa.array(["a b", None, "c d e"], pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_layout(
+            ray.data.from_arrow(tbl), seq_len=4, n_bins=4
+        ).take_all()
+    }
+    assert out[4]["n_tokens"] == 0 and out[4]["tok_offset"] == 2
+    assert out[8]["tok_offset"] == 2 and out[8]["pack_id"] == 0
+
+
 def test_pack_layout_deterministic_across_runs(ray_session):
     import ray
 
