@@ -7,8 +7,8 @@
 Scale shape: the only exchange is the groupby on the (int64) key; each
 group task holds ONE key's events (a user's stream — bounded), sorts it
 once, and emits one row per session.  Hot keys (bots with millions of
-events) are the skew risk; cap with an upstream per-key limit or split by
-(key, day) when event streams are unbounded.
+events) are the skew risk; ``sessionize(max_events_per_key=...)`` is the
+built-in guard (loud error or deterministic truncation per key).
 """
 
 from __future__ import annotations
@@ -19,11 +19,29 @@ import pyarrow as pa
 _US_30MIN = 30 * 60 * 1_000_000
 
 
-def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_us: int = _US_30MIN):
+def sessionize(
+    ds,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_us: int = _US_30MIN,
+    max_events_per_key: int | None = None,
+    on_hot_key: str = "error",
+):
     """events -> one row per (key, session): (key, session_id, n_events,
     duration_us).  A session closes when the gap to the next event exceeds
     ``gap_us``; session_id is 0-based in time order; ties broken by
-    event_id so the output is deterministic."""
+    event_id so the output is deterministic.
+
+    ``max_events_per_key`` is the hot-key guard: a key whose event stream
+    exceeds it (a bot with millions of events — the skew hazard of any
+    per-key group task) either raises a ValueError naming the key
+    (``on_hot_key='error'``, the default: an actionable failure instead of
+    a silent group-task OOM) or keeps only the key's earliest
+    ``max_events_per_key`` events in (ts, event_id) order
+    (``on_hot_key='truncate'``, deterministic, for pipelines that prefer
+    to degrade bots rather than stop)."""
+    if on_hot_key not in ("error", "truncate"):
+        raise ValueError(f"on_hot_key must be 'error' or 'truncate', got {on_hot_key!r}")
 
     def _per_key(group: pa.Table) -> pa.Table:
         kv = group.column(key)[0].as_py()
@@ -34,6 +52,14 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_us: int = _US_30MIN
         eid = group.column("event_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, t))
         t = t[order]
+        if max_events_per_key is not None and len(t) > max_events_per_key:
+            if on_hot_key == "error":
+                raise ValueError(
+                    f"hot key {kv!r}: {len(t)} events > max_events_per_key="
+                    f"{max_events_per_key}; exclude the key upstream or use "
+                    "on_hot_key='truncate'"
+                )
+            t = t[:max_events_per_key]
         # new session where the gap from the previous event exceeds gap_us
         new = np.ones(len(t), dtype=np.int64)
         if len(t) > 1:

@@ -827,6 +827,39 @@ def test_sessionize(ray_session):
     }
 
 
+def test_sessionize_hot_key_guard(ray_session):
+    """max_events_per_key: error mode names the bot key; truncate mode
+    keeps the earliest events deterministically (VERDICT r3 item 8)."""
+    import pytest
+    import ray
+
+    from fuzi_rd.functions.windows import sessionize
+
+    M = 60 * 1_000_000
+    n_bot = 10
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n_bot + 1), pa.int64()),
+            "user_id": pa.array([7] * n_bot + [1], pa.int64()),
+            # bot events every 5 minutes (one long session); user 1 single
+            "ts": pa.array([i * 5 * M for i in range(n_bot)] + [0], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="hot key 7"):
+        sessionize(ds, gap_us=30 * M, max_events_per_key=5).take_all()
+
+    out = sessionize(
+        ds, gap_us=30 * M, max_events_per_key=5, on_hot_key="truncate"
+    ).take_all()
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"]) for r in out}
+    # bot kept its first 5 events (0..20m -> one session, 20m span)
+    assert got == {(7, 0): (5, 20 * M), (1, 0): (1, 0)}
+
+    with pytest.raises(ValueError, match="on_hot_key"):
+        sessionize(ds, on_hot_key="bogus")
+
+
 def test_hopping_counts(ray_session):
     """Each event lands in exactly size/step windows; counts and integer
     milli sums are exact."""
