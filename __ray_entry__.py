@@ -1300,6 +1300,28 @@ def _q_corpus_pipeline(sf_dir: str):
     )
 
 
+def _q_corpus_training_ready(sf_dir: str):
+    """The one-pass training-ready corpus (VERDICT r3 item 9): the composed
+    corpus pipeline with the opt-in markdown + head-metadata columns fused
+    into the extraction actor pool — text, structure-preserving markdown
+    and curation metadata from a SINGLE parse per page (rows-only;
+    byte-identity vs the standalone stages is pinned by pytest)."""
+    import ray
+
+    from fuzi_rd.pipelines.corpus import corpus_dataset
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    out = corpus_dataset(ds, batch_size=64, emit_markdown=True, emit_metadata=True)
+    return out.select_columns(
+        [
+            "url", "part", "title", "text_len", "lang_guess", "content_hash",
+            "markdown", "meta_title", "canonical_url", "meta_lang",
+            "robots_noindex", "og_title",
+        ]
+    )
+
+
 def _q_corpus_job(sf_dir: str):
     """The job form of the corpus pipeline (run_corpus): extract -> clean ->
     shared-storage checkpoint under the output dir -> global exact dedup ->
@@ -2034,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
         "corpus_pipeline": _q_corpus_pipeline,
+        "corpus_training_ready": _q_corpus_training_ready,
         "corpus_job": _q_corpus_job,
         "curation_pipeline": _q_curation_pipeline,
         "media_decode": _q_media_decode,

@@ -58,12 +58,19 @@ def corpus_dataset(
     num_partitions: int | None = None,
     num_parts: int = DEFAULT_NUM_PARTS,
     skip_parts: set[int] | None = None,
+    emit_markdown: bool = False,
+    emit_metadata: bool = False,
 ):
     """Wire the full corpus pipeline onto a page Dataset (lazy).
 
     Returns a Dataset of (url, part, title, extracted_text, text_len,
     lang_guess, content_hash, text_hash) — the cleaned, deduplicated
-    corpus.
+    corpus.  With ``emit_markdown`` / ``emit_metadata`` the rows also
+    carry structure-preserving markdown and head-metadata columns,
+    produced from the SAME parse inside the extraction actor pool (no
+    second pass over the html) and byte-identical to the standalone
+    ``ConvertMarkdown`` / ``ExtractMetadata`` stages — one job emits
+    training-ready text + curation metadata in a single pass.
 
     Checkpoint policy (the dedup stage consumes the corpus twice, so it
     must be written once and re-read): ``checkpoint_dir`` must be on
@@ -79,6 +86,17 @@ def corpus_dataset(
         batch_size=batch_size,
         num_parts=num_parts,
         skip_parts=skip_parts,
+        emit_markdown=emit_markdown,
+        emit_metadata=emit_metadata,
+    )
+    extra_cols = (["markdown"] if emit_markdown else []) + (
+        [
+            "meta_title", "meta_description", "canonical_url", "meta_lang",
+            "robots_noindex", "robots_nofollow",
+            "og_title", "og_description", "og_image", "og_type",
+        ]
+        if emit_metadata
+        else []
     )
 
     def clean_and_annotate(batch: pa.Table) -> pa.Table:
@@ -103,20 +121,21 @@ def corpus_dataset(
         digests = [
             hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts
         ]
-        return pa.table(
-            {
-                "url": batch.column("url"),
-                "part": batch.column("part"),
-                "title": batch.column("title"),
-                "extracted_text": batch.column("extracted_text"),
-                "text_len": batch.column("text_len"),
-                "lang_guess": pa.array(langs, pa.string()),
-                "content_hash": pa.array(digests, pa.string()),
-                # per-row crc32 carried through for order-independent
-                # partition checksums in the manifests
-                "text_hash": batch.column("text_hash"),
-            }
-        )
+        cols = {
+            "url": batch.column("url"),
+            "part": batch.column("part"),
+            "title": batch.column("title"),
+            "extracted_text": batch.column("extracted_text"),
+            "text_len": batch.column("text_len"),
+            "lang_guess": pa.array(langs, pa.string()),
+            "content_hash": pa.array(digests, pa.string()),
+            # per-row crc32 carried through for order-independent
+            # partition checksums in the manifests
+            "text_hash": batch.column("text_hash"),
+        }
+        for c in extra_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     corpus = extracted.map_batches(clean_and_annotate, batch_format="pyarrow")
     if not dedup:
@@ -265,6 +284,8 @@ def run_corpus(
     num_partitions: int | None = None,
     resume: bool = True,
     run_id: str = "run",
+    emit_markdown: bool = False,
+    emit_metadata: bool = False,
 ) -> dict:
     """Full crawl-to-corpus job: read -> extract/clean -> checkpoint ->
     global exact dedup -> partitioned write, resumable at two levels.
@@ -302,6 +323,8 @@ def run_corpus(
         dedup=False,
         num_parts=num_parts,
         skip_parts=ckpt_done or None,
+        emit_markdown=emit_markdown,
+        emit_metadata=emit_metadata,
     )
     if len(ckpt_done) < num_parts:
         _write_partitioned(cleaned, ckpt_dir, run_id, batch_size)

@@ -54,6 +54,8 @@ def extract_dataset(
     num_parts: int = DEFAULT_NUM_PARTS,
     skew_threshold: int | None = None,
     skip_parts: set[int] | None = None,
+    emit_markdown: bool = False,
+    emit_metadata: bool = False,
 ):
     """Wire the extraction stages onto an input Dataset (lazy).
 
@@ -97,7 +99,12 @@ def extract_dataset(
         ds = ds.filter(expr=f"part not in {skip_list}")
 
     kwargs = dict(
-        fn_constructor_kwargs={"recipe": recipe, "num_parts": num_parts},
+        fn_constructor_kwargs={
+            "recipe": recipe,
+            "num_parts": num_parts,
+            "emit_markdown": emit_markdown,
+            "emit_metadata": emit_metadata,
+        },
         batch_format="pyarrow",
         num_cpus=1,
     )

@@ -21,6 +21,10 @@ a ``status='error'`` row, it never fails the block):
     status: string       'ok' | 'error'
     error: string        exception summary for error rows
     [recipe columns]     one large_string column per named recipe query
+    [markdown]           opt-in (emit_markdown): structure-preserving
+                         markdown from the same parse (== ConvertMarkdown)
+    [meta_* / og_* ...]  opt-in (emit_metadata): head metadata from the
+                         same parse (== ExtractMetadata, columns prefixed)
 """
 
 from __future__ import annotations
@@ -53,6 +57,8 @@ class ExtractPages:
         recipe: dict[str, str] | None = None,
         num_parts: int = DEFAULT_NUM_PARTS,
         emit_spans: bool = True,
+        emit_markdown: bool = False,
+        emit_metadata: bool = False,
     ):
         # Warm per-actor state: compile every recipe selector ONCE
         # (reference precedent: XMLActor owning compiled parser state,
@@ -66,6 +72,13 @@ class ExtractPages:
             self.recipe[name] = compile_xpath(xp)
         self.num_parts = num_parts
         self.emit_spans = emit_spans
+        # opt-in fused products: markdown + head metadata rendered from the
+        # SAME parsed arena (before boilerplate killing mutates it), so the
+        # flagship job emits training-ready text + curation metadata in ONE
+        # parse pass — byte-identical to the standalone ConvertMarkdown /
+        # ExtractMetadata stages (pinned by test).
+        self.emit_markdown = emit_markdown
+        self.emit_metadata = emit_metadata
         # Optional C parse kernel (fuzi_rd/_chtml.c): built/loaded once per
         # actor; the import-time self-check plus the differential suite
         # (tests/test_chtml_equivalence.py) gate its use.  Documents it
@@ -102,6 +115,8 @@ class ExtractPages:
         status = ["ok"] * n
         error = [""] * n
         recipe_cols = {name: [""] * n for name in self.recipe}
+        markdowns = [""] * n if self.emit_markdown else None
+        metas: list[dict] | None = [None] * n if self.emit_metadata else None
 
         for i in range(n):
             url = urls[i]
@@ -133,6 +148,16 @@ class ExtractPages:
                         )
                     else:
                         recipe_cols[name][i] = str(value)
+                # fused products read the PRE-boilerplate arena: identical
+                # input to the standalone stages' fresh parse
+                if markdowns is not None:
+                    from fuzi_rd.stages.markdown import render_markdown
+
+                    markdowns[i] = render_markdown(arena, base_url=url or "")
+                if metas is not None:
+                    from fuzi_rd.stages.metadata import _page_metadata
+
+                    metas[i] = _page_metadata(arena, url)
                 kill_boilerplate_nodes(arena)
                 text, spans = extract_main_content(arena)
                 texts[i] = text
@@ -177,4 +202,22 @@ class ExtractPages:
         }
         for name, values in recipe_cols.items():
             cols[name] = pa.array(values, pa.large_string())
+        if markdowns is not None:
+            cols["markdown"] = pa.array(markdowns, pa.large_string())
+        if metas is not None:
+            def _m(key, default=None):
+                return [
+                    (m[key] if m is not None else default) for m in metas
+                ]
+
+            cols["meta_title"] = pa.array(_m("title"), pa.string())
+            cols["meta_description"] = pa.array(_m("meta_description"), pa.string())
+            cols["canonical_url"] = pa.array(_m("canonical_url"), pa.string())
+            cols["meta_lang"] = pa.array(_m("lang"), pa.string())
+            cols["robots_noindex"] = pa.array(_m("robots_noindex", False), pa.bool_())
+            cols["robots_nofollow"] = pa.array(_m("robots_nofollow", False), pa.bool_())
+            cols["og_title"] = pa.array(_m("og:title"), pa.string())
+            cols["og_description"] = pa.array(_m("og:description"), pa.string())
+            cols["og_image"] = pa.array(_m("og:image"), pa.string())
+            cols["og_type"] = pa.array(_m("og:type"), pa.string())
         return pa.table(cols)

@@ -390,6 +390,50 @@ def test_corpus_pipeline_composition(ray_session, pages_dir):
         assert r["content_hash"] == hashlib.md5(expected.encode()).hexdigest()
 
 
+def test_corpus_fused_markdown_metadata_identity(ray_session, pages_dir):
+    """VERDICT r3 item 9: the opt-in markdown + metadata columns emitted by
+    the corpus job (one parse pass inside the extraction actor pool) are
+    byte-identical to the standalone ConvertMarkdown / ExtractMetadata
+    stages."""
+    import ray
+
+    from fuzi_rd.pipelines.corpus import corpus_dataset
+    from fuzi_rd.stages.markdown import markdown_dataset
+    from fuzi_rd.stages.metadata import extract_metadata_dataset
+
+    def _pages():
+        return ray.data.read_parquet(pages_dir, columns=["url", "html"])
+
+    fused = {
+        r["url"]: r
+        for r in corpus_dataset(
+            _pages(), batch_size=16, emit_markdown=True, emit_metadata=True
+        ).take_all()
+    }
+    assert fused
+    md = {r["url"]: r for r in markdown_dataset(_pages(), batch_size=16).take_all()}
+    meta = {
+        r["url"]: r
+        for r in extract_metadata_dataset(_pages(), batch_size=16).take_all()
+    }
+    pairs = {
+        "meta_title": "title",
+        "meta_description": "meta_description",
+        "canonical_url": "canonical_url",
+        "meta_lang": "lang",
+        "robots_noindex": "robots_noindex",
+        "robots_nofollow": "robots_nofollow",
+        "og_title": "og_title",
+        "og_description": "og_description",
+        "og_image": "og_image",
+        "og_type": "og_type",
+    }
+    for url, r in fused.items():
+        assert r["markdown"] == md[url]["markdown"]
+        for fused_col, standalone_col in pairs.items():
+            assert r[fused_col] == meta[url][standalone_col], (url, fused_col)
+
+
 def test_curation_stage(ray_session):
     """curate_dataset: signal gates drop degenerate docs, the blocklist
     drops its domains, and the per-stratum quota keeps small strata whole."""
