@@ -1962,7 +1962,9 @@ def _q_warc_ingest(sf_dir: str):
             {
                 "doc_id": ids,
                 "text": pc.cast(batch.column("payload"), pa.large_string()),
-                "n_bytes": pc.binary_length(batch.column("payload")),
+                "n_bytes": pc.cast(
+                    pc.binary_length(batch.column("payload")), pa.int64()
+                ),
             }
         )
 
@@ -2553,7 +2555,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": r"""
             SELECT doc_id,
                    text,
-                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
         "pii_scrub": r"""

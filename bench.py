@@ -174,6 +174,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "cms_counts",
         "pdf_layout",
         "postings_lookup",
+        "corpus_training_ready",
     ]
     times = {}
     for name in picked:
