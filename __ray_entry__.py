@@ -1867,6 +1867,57 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_logprob(ds, top_k=None, max_token_chars=None)
 
 
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: per-token unigram surprisal
+    quantile thresholds (exact quantile_disc over the integer milli-nat
+    signal) split the corpus into head / middle / tail.  The histogram
+    reduction bounds the driver table by DISTINCT per-token milli values,
+    not corpus rows; assignment is a row-local CASE."""
+    from fuzi_rd.functions.lm_score import ppl_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # exact uncapped fit for oracle parity (production defaults cap the
+    # broadcast vocabulary and drop degenerate over-long tokens)
+    return ppl_buckets(ds, top_k=None, max_token_chars=None)
+
+
+def _q_line_scrub(sf_dir: str):
+    """Corpus-frequency boilerplate line removal (RefinedWeb-style): the sf
+    docs are single-line, so both engines build the SAME 3-line corpus —
+    a nav-menu header (4 variants) and a footer (5 variants) around each
+    body — then scrub every line recurring in >= 3 distinct documents
+    (headers/footers and any >=3x-duplicated bodies vanish everywhere;
+    unique bodies survive)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.dedup import line_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        v4 = pc.cast(pc.bit_wise_and(did, 3), pa.string())
+        # Arrow has no modulo kernel; numpy round-trip for doc_id % 5
+        v5 = pc.cast(
+            pa.array(did.to_numpy(zero_copy_only=False) % 5, pa.int64()),
+            pa.string(),
+        )
+        full = pc.binary_join_element_wise(
+            "Nav menu variant ",
+            v4,
+            "\n",
+            batch.column("text"),
+            "\n",
+            "Footer links variant ",
+            v5,
+            "",
+        )
+        return pa.table({"doc_id": did, "text": full})
+
+    return line_scrub(ds.map_batches(build, batch_format="pyarrow"), min_docs=3)
+
+
 def _q_logodds_score(sf_dir: str):
     """Two-class token log-odds quality classifier (fastText-linear shape):
     fit per-token milli log-odds weights from a bool-labeled corpus
@@ -2021,6 +2072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_layout": _q_pdf_layout,
         "warc_ingest": _q_warc_ingest,
         "unigram_lm": _q_unigram_lm,
+        "ppl_buckets": _q_ppl_buckets,
+        "line_scrub": _q_line_scrub,
         "logodds_score": _q_logodds_score,
         "pack_layout": _q_pack_layout,
         "decontam_keep": _q_decontam_keep,
@@ -2447,6 +2500,68 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "ppl_buckets": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT sum(c) AS total FROM vocab),
+            scored AS (
+              SELECT t.doc_id,
+                     CAST(floor(-1000 * ln(v.c / tot.total)) AS BIGINT) AS milli
+              FROM tok t, vocab v, tot
+              WHERE t.tok = v.tok
+            ),
+            docs AS (
+              SELECT doc_id,
+                     CAST(sum(milli) // count(*) AS BIGINT)
+                         AS mean_surprisal_milli
+              FROM scored GROUP BY doc_id
+            ),
+            thr AS (
+              SELECT quantile_disc(mean_surprisal_milli, 0.25) AS t1,
+                     quantile_disc(mean_surprisal_milli, 0.75) AS t2
+              FROM docs
+            )
+            SELECT d.doc_id, d.mean_surprisal_milli,
+                   CASE WHEN d.mean_surprisal_milli <= thr.t1 THEN 'head'
+                        WHEN d.mean_surprisal_milli <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM docs d, thr
+        """,
+        "line_scrub": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     'Nav menu variant ' || CAST(doc_id % 4 AS VARCHAR)
+                       || chr(10) || text || chr(10)
+                       || 'Footer links variant ' || CAST(doc_id % 5 AS VARCHAR)
+                       AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                         AS idx
+              FROM built
+            ),
+            boiler AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+            ),
+            kept AS (
+              SELECT l.doc_id, l.line, l.idx FROM lines l
+              WHERE l.line NOT IN (SELECT line FROM boiler)
+            )
+            SELECT b.doc_id, coalesce(k.text, '') AS text
+            FROM built b LEFT JOIN (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+              FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
         """,
         "postings_lookup": r"""
             SELECT doc_id, count(*) AS tf FROM (

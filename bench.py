@@ -175,6 +175,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "pdf_layout",
         "postings_lookup",
         "corpus_training_ready",
+        "ppl_buckets",
+        "line_scrub",
     ]
     times = {}
     for name in picked:

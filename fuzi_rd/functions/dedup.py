@@ -450,6 +450,113 @@ def paragraph_dedup_keep(ds, sep: str = "\n\n", num_partitions: int | None = Non
     return joined.map_batches(_rebuild, batch_format="pyarrow")
 
 
+# -- corpus-frequency boilerplate line scrub ---------------------------------
+
+# broadcast-set cap, ON by default (the df_cap / top_k production-default
+# rule): the scrub set is pulled to the driver and ray.put() once, so an
+# adversarial corpus where MILLIONS of distinct lines recur must hard-fail
+# with advice instead of OOMing the driver.  2M md5 hexdigests ~ 300 MB of
+# Python set — safe; real boilerplate sets (headers, footers, cookie
+# banners, nav text) are orders of magnitude smaller.
+DEFAULT_MAX_BOILERPLATE_LINES = 2_000_000
+
+
+def line_scrub(
+    ds,
+    min_docs: int = 3,
+    sep: str = "\n",
+    max_boilerplate_lines: int = DEFAULT_MAX_BOILERPLATE_LINES,
+):
+    """Corpus-frequency boilerplate removal (RefinedWeb/CCNet-style): drop
+    every line that occurs in at least ``min_docs`` DISTINCT documents,
+    from every document, preserving the order of surviving lines.
+
+    Unlike :func:`paragraph_dedup_keep` (which keeps each duplicate's FIRST
+    occurrence), this removes ALL occurrences of corpus-recurrent lines —
+    the right semantics for nav bars / cookie banners / share buttons that
+    are noise wherever they appear.  Every input document survives (its
+    text may become ``""``).
+
+    Scale shape — corpus text never crosses an exchange:
+
+    1. per-batch combiner emits one ``(line_hash, n_docs)`` partial per
+       distinct (line, doc) pair in the batch (each doc lives in exactly
+       one batch, so summed partials equal exact distinct-doc counts);
+       only fixed-width 16-byte-md5 rows ride the groupby;
+    2. the ``n_docs >= min_docs`` survivor set — bounded by
+       ``max_boilerplate_lines``, hard-fail past it — is pulled to the
+       driver ONCE and broadcast via ``ray.put`` (read zero-copy per
+       scrub task, never re-shipped per batch);
+    3. the scrub is a row-local ``map_batches`` filter: split, drop
+       members of the broadcast set, re-join.  No shuffle, no join.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _line_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for h in {
+                hashlib.md5(ln.encode("utf-8")).hexdigest()
+                for ln in (text or "").split(sep)
+            }:
+                counts[h] = counts.get(h, 0) + 1
+        return pa.table(
+            {
+                "line_hash": pa.array(list(counts.keys()), pa.string()),
+                "n_docs": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    boiler_ds = (
+        ds.map_batches(_line_counts, batch_format="pyarrow")
+        .groupby("line_hash")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .filter(expr=f"n_docs >= {int(min_docs)}")
+    )
+    boiler: set[str] = set()
+    for b in boiler_ds.iter_batches(batch_format="pyarrow"):
+        boiler.update(b.column("line_hash").to_pylist())
+        if len(boiler) > max_boilerplate_lines:
+            raise ValueError(
+                f"line_scrub: > {max_boilerplate_lines} distinct lines recur "
+                f"in >= {min_docs} docs; raise min_docs, raise "
+                "max_boilerplate_lines, or pre-filter the corpus — "
+                "broadcasting a set this large is a driver-memory hazard"
+            )
+    boiler_ref = ray.put(frozenset(boiler))
+
+    class _Scrub:
+        def __init__(self, ref):
+            self.boiler: frozenset[str] = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            boil = self.boiler
+            texts = [
+                sep.join(
+                    ln
+                    for ln in (t or "").split(sep)
+                    if hashlib.md5(ln.encode("utf-8")).hexdigest() not in boil
+                )
+                for t in batch.column("text").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(
+        _Scrub,
+        fn_constructor_kwargs={"ref": boiler_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=max(1, int(n_cpus * 0.75)),
+    )
+
+
 # -- MinHash -----------------------------------------------------------------
 
 

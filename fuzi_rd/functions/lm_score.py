@@ -33,8 +33,9 @@ import math
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["fit_unigram_vocab", "unigram_logprob"]
+__all__ = ["fit_unigram_vocab", "unigram_logprob", "ppl_buckets"]
 
 _TOKEN_RE = re.compile(r"\s+")
 
@@ -199,6 +200,95 @@ def unigram_logprob(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# -- CCNet-style quantile bucketing over the surprisal signal ---------------
+
+
+def ppl_buckets(
+    ds,
+    qs: tuple[float, float] = (0.25, 0.75),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = DEFAULT_TOP_K,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
+):
+    """Bucket documents into ``head`` / ``middle`` / ``tail`` by corpus
+    quantiles of per-token unigram surprisal (the CCNet perplexity-bucket
+    curation step: keep the fluent head, downsample or drop the tail).
+
+    Buckets come from exact ``quantile_disc``-semantics thresholds
+    (element at sorted rank ``ceil(q*n)-1``) over the INTEGER
+    ``mean_surprisal_milli`` signal, so assignment is deterministic and
+    DuckDB-checkable; ``qs`` defaults to exact binary fractions so both
+    engines compute identical ranks.
+
+    Scale shape: the scored dataset (4 int64 columns per doc, no text) is
+    materialized once and consumed twice — (a) a histogram reduction whose
+    driver-side table is bounded by the DISTINCT per-token milli-nat
+    values (<= the OOV surprisal ~ 20k at crawl scale, independent of
+    corpus rows), (b) a row-local threshold CASE.  No sort, no second fit.
+    """
+    import math as _math
+
+    import numpy as np
+
+    scores = unigram_logprob(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        top_k=top_k,
+        max_token_chars=max_token_chars,
+    ).materialize()
+
+    hist_parts = [
+        b
+        for b in scores.groupby("mean_surprisal_milli")
+        .count()
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not hist_parts:
+        return scores.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "mean_surprisal_milli": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    hist = pa.concat_tables(hist_parts)
+    vals = hist.column("mean_surprisal_milli").to_numpy(zero_copy_only=False)
+    counts = hist.column("count()").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    lo_q, hi_q = qs
+    thresholds = []
+    for q in (lo_q, hi_q):
+        rank = max(0, _math.ceil(q * n) - 1)  # quantile_disc 0-based rank
+        thresholds.append(int(vals[int(np.searchsorted(cum, rank + 1))]))
+    t1, t2 = thresholds
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        m = batch.column("mean_surprisal_milli")
+        bucket = pc.if_else(
+            pc.less_equal(m, t1),
+            "head",
+            pc.if_else(pc.less_equal(m, t2), "middle", "tail"),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "mean_surprisal_milli": m,
+                "bucket": pc.cast(bucket, pa.string()),
+            }
+        )
+
+    return scores.map_batches(_assign, batch_format="pyarrow")
 
 
 # -- two-class token log-odds classifier ------------------------------------

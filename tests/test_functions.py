@@ -143,6 +143,46 @@ def test_paragraph_dedup_packed_key_guards(ray_session):
     with pytest.raises(Exception, match="paragraphs"):
         dedup.paragraph_dedup_keep(ds).take_all()
 
+
+def test_line_scrub_removes_corpus_frequent_lines(ray_session):
+    """Lines in >= min_docs DISTINCT docs vanish from EVERY doc (unlike
+    paragraph dedup's keep-first); unique lines survive in order; every
+    input doc survives, possibly emptied."""
+    import ray
+
+    docs = [
+        "nav\nbody zero\nfooter",
+        "nav\nbody one\nfooter",
+        "nav\nnav\nbody two",  # repeated within ONE doc: counts once
+        "nav",                  # fully boilerplate -> text becomes ""
+    ]
+    out = dedup.line_scrub(
+        ray.data.from_arrow(_docs_table(docs)), min_docs=3
+    ).take_all()
+    got = {r["doc_id"]: r["text"] for r in out}
+    # "nav" is in 4 distinct docs (scrubbed); "footer" only in 2 (kept)
+    assert got == {
+        0: "body zero\nfooter",
+        1: "body one\nfooter",
+        2: "body two",
+        3: "",
+    }
+
+
+def test_line_scrub_broadcast_cap_guard(ray_session):
+    """An adversarial corpus with a huge recurring-line set hard-fails
+    instead of OOMing the driver (the df_cap/top_k production rule)."""
+    import pytest
+    import ray
+
+    docs = ["x0\nx1\nx2\nx3", "x0\nx1\nx2\nx3"]
+    with pytest.raises(ValueError, match="driver-memory hazard"):
+        dedup.line_scrub(
+            ray.data.from_arrow(_docs_table(docs)),
+            min_docs=2,
+            max_boilerplate_lines=2,
+        ).take_all()
+
     big_id = 1 << 43
     ds2 = ray.data.from_arrow(
         pa.table({"doc_id": pa.array([big_id], pa.int64()), "text": ["x"]})

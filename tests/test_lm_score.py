@@ -138,3 +138,47 @@ def test_max_token_chars_drops_megatoken(ray_session):
 
     vocab_exact, total_exact = fit_unigram_vocab(ds, max_token_chars=None)
     assert mega in vocab_exact and total_exact == 5
+
+
+def test_ppl_buckets_quantile_assignment(ray_session):
+    """Exact quantile_disc thresholds (rank ceil(q*n)-1) split head /
+    middle / tail; ties on the threshold value land in the lower bucket."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import ppl_buckets, unigram_logprob
+
+    # 8 docs with a spread of surprisal: repeated common tokens vs rare ones
+    texts = [
+        "a a a a", "a a a b", "a a b b", "a b b c",
+        "b c c d", "c d d e", "d e e f", "e f g h",
+    ]
+    ds = _docs_ds(ray, texts)
+    scores = {
+        r["doc_id"]: r["mean_surprisal_milli"]
+        for r in unigram_logprob(ds, top_k=None, max_token_chars=None).take_all()
+    }
+    out = {r["doc_id"]: r for r in
+           ppl_buckets(ds, top_k=None, max_token_chars=None).take_all()}
+    # recompute thresholds by the quantile_disc definition
+    import math
+
+    vals = sorted(scores.values())
+    n = len(vals)
+    t1 = vals[max(0, math.ceil(0.25 * n) - 1)]
+    t2 = vals[max(0, math.ceil(0.75 * n) - 1)]
+    for did, s in scores.items():
+        want = "head" if s <= t1 else ("middle" if s <= t2 else "tail")
+        assert out[did]["bucket"] == want, (did, s, t1, t2)
+        assert out[did]["mean_surprisal_milli"] == s
+    assert {r["bucket"] for r in out.values()} == {"head", "middle", "tail"}
+
+
+def test_ppl_buckets_empty_corpus(ray_session):
+    """All-zero-token corpora produce an empty result with the full
+    3-column schema (no histogram to bucket)."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import ppl_buckets
+
+    out = ppl_buckets(_docs_ds(ray, ["", "   "])).take_all()
+    assert out == []
