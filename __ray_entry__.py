@@ -1867,6 +1867,39 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_logprob(ds, top_k=None, max_token_chars=None)
 
 
+def _q_gopher_gate(sf_dir: str):
+    """The published Gopher/MassiveText quality rule set as one vectorized
+    integer-arithmetic pass (no exchange, no state).  The sf word-soup docs
+    contain only 'the' from the stopword list, so every third document gets
+    a stopword-bearing suffix — both engines build the SAME corpus — making
+    all four (word-count x stopword) gate combinations occur."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.textstats import gopher_gate_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        three = pa.array(
+            did.to_numpy(zero_copy_only=False) % 3 == 0, pa.bool_()
+        )
+        suffix = pc.if_else(three, " of the and that have with.", "")
+        return pa.table(
+            {
+                "doc_id": did,
+                "text": pc.binary_join_element_wise(
+                    batch.column("text"), suffix, ""
+                ),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow").map_batches(
+        gopher_gate_batch, batch_format="pyarrow"
+    )
+
+
 def _q_ppl_buckets(sf_dir: str):
     """CCNet-style perplexity bucketing: per-token unigram surprisal
     quantile thresholds (exact quantile_disc over the integer milli-nat
@@ -2072,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_layout": _q_pdf_layout,
         "warc_ingest": _q_warc_ingest,
         "unigram_lm": _q_unigram_lm,
+        "gopher_gate": _q_gopher_gate,
         "ppl_buckets": _q_ppl_buckets,
         "line_scrub": _q_line_scrub,
         "logodds_score": _q_logodds_score,
@@ -2500,6 +2534,72 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "gopher_gate": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN ' of the and that have with.'
+                                  ELSE '' END AS text
+              FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens,
+                     length(regexp_replace(trim(text), '\s', '', 'g'))
+                         AS word_chars,
+                     length(text) - length(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\.\.\.'))
+                       + length(text) - length(replace(text, '…', ''))
+                         AS n_sym,
+                     length(text) - length(replace(text, chr(10), '')) + 1
+                         AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[•\-\*]'))
+                         AS n_bullet,
+                     len(regexp_extract_all(text, '(?m)\.\.\.$'))
+                         AS n_ellipsis_end,
+                     len(regexp_extract_all(
+                         ' ' || regexp_replace(trim(text), '\s+', '  ', 'g')
+                             || ' ',
+                         ' [^ ]*[A-Za-z][^ ]* ')) AS n_alpha_tokens,
+                     (CASE WHEN regexp_matches(lower(text), '\bthe\b')
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bbe\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bto\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bof\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\band\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bthat\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bhave\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bwith\b')
+                             THEN 1 ELSE 0 END) AS n_stop_kinds
+              FROM built
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(word_chars AS BIGINT) AS word_chars,
+                   CAST(n_sym AS BIGINT) AS n_sym,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_bullet AS BIGINT) AS n_bullet,
+                   CAST(n_ellipsis_end AS BIGINT) AS n_ellipsis_end,
+                   CAST(n_alpha_tokens AS BIGINT) AS n_alpha_tokens,
+                   CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
+                   (n_tokens BETWEEN 50 AND 100000
+                    AND 3 * n_tokens <= word_chars
+                    AND word_chars <= 10 * n_tokens
+                    AND 10 * n_sym <= n_tokens
+                    AND 10 * n_bullet < 9 * n_lines
+                    AND 10 * n_ellipsis_end < 3 * n_lines
+                    AND 5 * n_alpha_tokens >= 4 * n_tokens
+                    AND n_stop_kinds >= 2) AS gopher_ok
+            FROM sig
         """,
         "ppl_buckets": r"""
             WITH tok AS (

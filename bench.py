@@ -177,6 +177,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "corpus_training_ready",
         "ppl_buckets",
         "line_scrub",
+        "gopher_gate",
     ]
     times = {}
     for name in picked:

@@ -11,6 +11,7 @@ Operators:
   lang_id         n-gram/script heuristic language guess (non-SQL oracle)
   chunk_batch     row-expanding token-window chunker (LLM pre-tokenization)
   repetition      duplicate word-n-gram fraction (Gopher-style signal)
+  gopher_gate     the full published Gopher rule set as one integer gate
   pii_counts      email/URL substring counts (cheap pre-filter)
   pii_scrub       email/URL redaction via vectorized regexp_replace
 """
@@ -298,6 +299,106 @@ def stopword_stats_batch(batch: pa.Table) -> pa.Table:
             "n_stopwords": n_stop,
             "n_tokens": n_tokens,
             "stopword_milli": ratio,
+        }
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate_batch(batch: pa.Table) -> pa.Table:
+    """The published Gopher/MassiveText document-quality gate (Rae et al.
+    2021, Appendix A) as ONE vectorized pass — all rules in exact integer
+    arithmetic (multiplications, never divisions) so the DuckDB oracle
+    matches bit for bit:
+
+      1. 50 <= word count <= 100,000
+      2. mean word length in [3, 10]      (3*n_tokens <= word_chars <= 10*n_tokens)
+      3. symbol-to-word ratio <= 0.1      (symbols: '#', '...', '…')
+      4. < 90% of lines bullet-started; < 30% of lines '...'-ended
+      5. >= 80% of words contain an alphabetic character
+      6. >= 2 distinct stopwords of {the, be, to, of, and, that, have, with}
+
+    Embarrassingly parallel: RE2 kernels per batch, no exchange, no state.
+    The alpha-word count uses a separator-doubling pad (every token gets
+    its own flanking spaces) so non-overlapping ``' [^ ]*[A-Za-z][^ ]* '``
+    matches count tokens exactly — RE2 has no lookahead."""
+    text = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(text)
+    trimmed_len = pc.utf8_length(trimmed)
+    n_tokens = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()
+    )
+    n_tokens = pc.if_else(
+        pc.equal(trimmed_len, 0), pa.scalar(0, pa.int64()), n_tokens
+    )
+    word_chars = pc.cast(
+        pc.subtract(trimmed_len, pc.count_substring_regex(trimmed, r"\s")),
+        pa.int64(),
+    )
+    n_sym = pc.cast(
+        pc.add(
+            pc.add(
+                pc.count_substring(text, "#"),
+                pc.count_substring(text, "..."),
+            ),
+            pc.count_substring(text, "…"),
+        ),
+        pa.int64(),
+    )
+    n_lines = pc.cast(
+        pc.add(pc.count_substring(text, "\n"), 1), pa.int64()
+    )
+    n_bullet = pc.cast(
+        pc.count_substring_regex(text, r"(?m)^[•\-\*]"), pa.int64()
+    )
+    n_ellipsis_end = pc.cast(
+        pc.count_substring_regex(text, r"(?m)\.\.\.$"), pa.int64()
+    )
+    pad = pc.binary_join_element_wise(
+        " ", pc.replace_substring_regex(trimmed, r"\s+", "  "), " ", ""
+    )
+    n_alpha_tokens = pc.cast(
+        pc.count_substring_regex(pad, r" [^ ]*[A-Za-z][^ ]* "), pa.int64()
+    )
+    lower = pc.utf8_lower(text)
+    n_stop_kinds = pa.array([0] * batch.num_rows, pa.int64())
+    for w in _GOPHER_STOPWORDS:
+        n_stop_kinds = pc.add(
+            n_stop_kinds,
+            pc.cast(pc.match_substring_regex(lower, rf"\b{w}\b"), pa.int64()),
+        )
+    rules = [
+        pc.and_(
+            pc.greater_equal(n_tokens, 50), pc.less_equal(n_tokens, 100_000)
+        ),
+        pc.and_(
+            pc.less_equal(pc.multiply(n_tokens, 3), word_chars),
+            pc.less_equal(word_chars, pc.multiply(n_tokens, 10)),
+        ),
+        pc.less_equal(pc.multiply(n_sym, 10), n_tokens),
+        pc.less(pc.multiply(n_bullet, 10), pc.multiply(n_lines, 9)),
+        pc.less(pc.multiply(n_ellipsis_end, 10), pc.multiply(n_lines, 3)),
+        pc.greater_equal(
+            pc.multiply(n_alpha_tokens, 5), pc.multiply(n_tokens, 4)
+        ),
+        pc.greater_equal(n_stop_kinds, 2),
+    ]
+    ok = rules[0]
+    for r in rules[1:]:
+        ok = pc.and_(ok, r)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens,
+            "word_chars": word_chars,
+            "n_sym": n_sym,
+            "n_lines": n_lines,
+            "n_bullet": n_bullet,
+            "n_ellipsis_end": n_ellipsis_end,
+            "n_alpha_tokens": n_alpha_tokens,
+            "n_stop_kinds": n_stop_kinds,
+            "gopher_ok": pc.cast(ok, pa.bool_()),
         }
     )
 

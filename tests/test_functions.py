@@ -143,6 +143,13 @@ def test_paragraph_dedup_packed_key_guards(ray_session):
     with pytest.raises(Exception, match="paragraphs"):
         dedup.paragraph_dedup_keep(ds).take_all()
 
+    big_id = 1 << 43
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([big_id], pa.int64()), "text": ["x"]})
+    )
+    with pytest.raises(Exception, match="packed-key range"):
+        dedup.paragraph_dedup_keep(ds2).take_all()
+
 
 def test_line_scrub_removes_corpus_frequent_lines(ray_session):
     """Lines in >= min_docs DISTINCT docs vanish from EVERY doc (unlike
@@ -182,13 +189,6 @@ def test_line_scrub_broadcast_cap_guard(ray_session):
             min_docs=2,
             max_boilerplate_lines=2,
         ).take_all()
-
-    big_id = 1 << 43
-    ds2 = ray.data.from_arrow(
-        pa.table({"doc_id": pa.array([big_id], pa.int64()), "text": ["x"]})
-    )
-    with pytest.raises(Exception, match="packed-key range"):
-        dedup.paragraph_dedup_keep(ds2).take_all()
 
 
 def test_stopword_stats_batch():
@@ -1186,3 +1186,35 @@ def test_normalize_text_batch(ray_session):
     assert got[0] == "Café x"  # NFC composed + collapsed
     assert got[1] == "a b"
     assert got[2] == "" and got[3] is None
+
+
+def test_gopher_gate_each_rule_flips():
+    """One passing prose doc, then seven variants each violating exactly
+    one published Gopher rule; the gate catches every one."""
+    base_words = ("quick brown foxes jumped over the lazy dogs and ran "
+                  "with great speed that day to be first ").split()
+    prose = " ".join(base_words * 5)  # 90 tokens, healthy ratios
+    variants = {
+        "ok": prose,
+        "too_short": "the cat sat with that of it",           # <50 tokens
+        "words_too_long": " ".join(["the", "of"] + ["hippopotamusesque"] * 88),
+        "too_many_symbols": prose + " " + "# " * 30,          # sym ratio >0.1
+        "all_bullets": "\n".join("- " + w for w in base_words * 5)
+                        + "\nthe of",                          # >=90% bullets
+        "ellipsis_lines": "the of and\n" + "\n".join(
+            ["so it goes..."] * 9),                            # >30% '...' ends
+        "non_alpha_words": " ".join(["the", "of"] + ["123"] * 88),
+        "no_stopwords": " ".join(["foxes", "jumped"] * 45),    # <2 stopwords
+    }
+    names = list(variants)
+    t = textstats.gopher_gate_batch(_docs_table([variants[n] for n in names]))
+    ok = dict(zip(names, t.column("gopher_ok").to_pylist()))
+    assert ok["ok"] is True
+    for name in names[1:]:
+        assert ok[name] is False, name
+
+
+def test_gopher_gate_empty_doc():
+    t = textstats.gopher_gate_batch(_docs_table(["", "   "]))
+    assert t.column("n_tokens").to_pylist() == [0, 0]
+    assert t.column("gopher_ok").to_pylist() == [False, False]
