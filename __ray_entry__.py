@@ -1867,6 +1867,74 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_logprob(ds, top_k=None, max_token_chars=None)
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """Token-count estimation (whitespace + BPE-ish GPT-2-family regex) for
+    budget planning — one vectorized RE2 count per doc, no exchange."""
+    from fuzi_rd.functions.textstats import bpe_token_count_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    )
+
+
+def _q_source_quality(sf_dir: str):
+    """Per-source corpus quality rollup: docs + Gopher-gate pass count +
+    exact milli pass rate — the domain-scoring step that feeds blocklist
+    candidates.  Composition: vectorized gate pass -> tiny groupby on the
+    source key (fixed-width rows only; text never shuffles)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from fuzi_rd.functions.textstats import gopher_gate_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        # same stopword-suffix construction as the gopher_gate query, so
+        # the sf word-soup corpus exercises both gate outcomes
+        did = batch.column("doc_id")
+        three = pa.array(
+            did.to_numpy(zero_copy_only=False) % 3 == 0, pa.bool_()
+        )
+        suffix = pc.if_else(three, " of the and that have with.", "")
+        built = pa.table(
+            {
+                "doc_id": did,
+                "text": pc.binary_join_element_wise(
+                    batch.column("text"), suffix, ""
+                ),
+            }
+        )
+        ok = gopher_gate_batch(built).column("gopher_ok")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "ok": pc.cast(ok, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_gate, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(), Sum("ok", alias_name="n_ok"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("count()"), pa.int64())
+        n_ok = pc.cast(batch.column("n_ok"), pa.int64())
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": n,
+                "n_ok": n_ok,
+                "ok_milli": pc.divide(pc.multiply(n_ok, 1000), n),
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
 def _q_gopher_gate(sf_dir: str):
     """The published Gopher/MassiveText quality rule set as one vectorized
     integer-arithmetic pass (no exchange, no state).  The sf word-soup docs
@@ -2106,6 +2174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "unigram_lm": _q_unigram_lm,
         "gopher_gate": _q_gopher_gate,
+        "bpe_tokens": _q_bpe_tokens,
+        "source_quality": _q_source_quality,
         "ppl_buckets": _q_ppl_buckets,
         "line_scrub": _q_line_scrub,
         "logodds_score": _q_logodds_score,
@@ -2534,6 +2604,82 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+'))
+                        END AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "source_quality": r"""
+            WITH built AS (
+              SELECT doc_id, source,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN ' of the and that have with.'
+                                  ELSE '' END AS text
+              FROM documents
+            ),
+            sig AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens,
+                     length(regexp_replace(trim(text), '\s', '', 'g'))
+                         AS word_chars,
+                     length(text) - length(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\.\.\.'))
+                       + length(text) - length(replace(text, '…', ''))
+                         AS n_sym,
+                     length(text) - length(replace(text, chr(10), '')) + 1
+                         AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[•\-\*]'))
+                         AS n_bullet,
+                     len(regexp_extract_all(text, '(?m)\.\.\.$'))
+                         AS n_ellipsis_end,
+                     len(regexp_extract_all(
+                         ' ' || regexp_replace(trim(text), '\s+', '  ', 'g')
+                             || ' ',
+                         ' [^ ]*[A-Za-z][^ ]* ')) AS n_alpha_tokens,
+                     (CASE WHEN regexp_matches(lower(text), '\bthe\b')
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bbe\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bto\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bof\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\band\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bthat\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bhave\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bwith\b')
+                             THEN 1 ELSE 0 END) AS n_stop_kinds
+              FROM built
+            ),
+            gated AS (
+              SELECT source,
+                     CASE WHEN n_tokens BETWEEN 50 AND 100000
+                           AND 3 * n_tokens <= word_chars
+                           AND word_chars <= 10 * n_tokens
+                           AND 10 * n_sym <= n_tokens
+                           AND 10 * n_bullet < 9 * n_lines
+                           AND 10 * n_ellipsis_end < 3 * n_lines
+                           AND 5 * n_alpha_tokens >= 4 * n_tokens
+                           AND n_stop_kinds >= 2
+                          THEN 1 ELSE 0 END AS ok
+              FROM sig
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ok) AS BIGINT) AS n_ok,
+                   CAST(sum(ok) * 1000 // count(*) AS BIGINT) AS ok_milli
+            FROM gated GROUP BY source
         """,
         "gopher_gate": r"""
             WITH built AS (

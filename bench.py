@@ -178,6 +178,8 @@ def run_query_bench(sf_dir: str) -> dict:
         "ppl_buckets",
         "line_scrub",
         "gopher_gate",
+        "bpe_tokens",
+        "source_quality",
     ]
     times = {}
     for name in picked:

@@ -303,6 +303,38 @@ def stopword_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-safe (no lookahead): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, then
+# whitespace runs.  The original's trailing `\s+(?!\S)` split is dropped
+# (RE2 has no lookahead), so a whitespace run counts as ONE token — fine
+# for a budgeting estimator, and identical in both engines because Arrow
+# and DuckDB both scan with RE2's leftmost-first alternation.
+_BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Token-count estimation for budget planning (context packing, cost
+    models): whitespace tokens next to a BPE-ish regex pre-token count
+    (GPT-2 pattern family).  One vectorized RE2 count per document, no
+    exchange; exact integers so the DuckDB oracle matches."""
+    text = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_ws = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()
+    )
+    n_ws = pc.if_else(
+        pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int64()), n_ws
+    )
+    n_bpe = pc.cast(pc.count_substring_regex(text, _BPE_ISH_RE), pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_ws_tokens": n_ws,
+            "n_bpe_tokens": n_bpe,
+        }
+    )
+
+
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -1218,3 +1218,14 @@ def test_gopher_gate_empty_doc():
     t = textstats.gopher_gate_batch(_docs_table(["", "   "]))
     assert t.column("n_tokens").to_pylist() == [0, 0]
     assert t.column("gopher_ok").to_pylist() == [False, False]
+
+
+def test_bpe_token_count():
+    """BPE-ish regex pre-token counts: contractions split, punctuation
+    runs separate, whitespace-run-as-one-token documented semantics."""
+    t = textstats.bpe_token_count_batch(
+        _docs_table(["It's a test-case: 42!", "", "   ", "don't"])
+    )
+    # "It's a test-case: 42!" -> It|'s| a| test|-|case|:| 42|! = 9
+    assert t.column("n_bpe_tokens").to_pylist() == [9, 0, 1, 2]
+    assert t.column("n_ws_tokens").to_pylist() == [4, 0, 0, 1]
