@@ -1867,6 +1867,39 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_logprob(ds, top_k=None, max_token_chars=None)
 
 
+def _q_repetition_profile(sf_dir: str):
+    """Gopher Table-A1 repetition signals (dup-line fractions, top-2/3/4-
+    gram char fraction, dup-5/10-gram covered-char fraction) — the sf docs
+    are single-line, so both engines build the SAME 3-line corpus with
+    every 4th document's body line duplicated, exercising the line-repeat
+    signals alongside the naturally varying n-gram ones."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.textstats import repetition_profile_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        four = pa.array(
+            did.to_numpy(zero_copy_only=False) % 4 == 0, pa.bool_()
+        )
+        last = pc.if_else(four, batch.column("text"), "Footer")
+        return pa.table(
+            {
+                "doc_id": did,
+                "text": pc.binary_join_element_wise(
+                    "Nav menu\n", batch.column("text"), "\n", last, ""
+                ),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow").map_batches(
+        repetition_profile_batch, batch_format="pyarrow"
+    )
+
+
 def _q_bpe_tokens(sf_dir: str):
     """Token-count estimation (whitespace + BPE-ish GPT-2-family regex) for
     budget planning — one vectorized RE2 count per doc, no exchange."""
@@ -2176,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_gate": _q_gopher_gate,
         "bpe_tokens": _q_bpe_tokens,
         "source_quality": _q_source_quality,
+        "repetition_profile": _q_repetition_profile,
         "ppl_buckets": _q_ppl_buckets,
         "line_scrub": _q_line_scrub,
         "logodds_score": _q_logodds_score,
@@ -2604,6 +2638,168 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "repetition_profile": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     'Nav menu' || chr(10) || text || chr(10) ||
+                     CASE WHEN doc_id % 4 = 0 THEN text ELSE 'Footer' END
+                         AS text
+              FROM documents
+            ),
+            lin AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                         AS idx
+              FROM built
+            ),
+            lin_sig AS (
+              SELECT doc_id,
+                     1000 * count(CASE WHEN rn > 1 THEN 1 END) // count(*)
+                         AS dup_line_milli,
+                     CASE WHEN sum(length(line)) = 0 THEN 0
+                          ELSE 1000 * coalesce(
+                                 sum(CASE WHEN rn > 1 THEN length(line) END),
+                                 0) // sum(length(line))
+                     END AS dup_line_char_milli
+              FROM (SELECT doc_id, line,
+                           row_number() OVER (PARTITION BY doc_id, line
+                                              ORDER BY idx) AS rn
+                    FROM lin)
+              GROUP BY doc_id
+            ),
+            ts AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM built
+            ),
+            tok AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(range(1, len(t) + 1)) AS idx
+              FROM ts
+            ),
+            tot AS (SELECT doc_id, sum(length(tok)) AS tot
+                    FROM tok GROUP BY doc_id),
+            g2 AS (
+              SELECT doc_id, idx,
+                     tok || chr(1) || lead(tok, 1) OVER w AS gkey,
+                     length(tok) + length(lead(tok, 1) OVER w) AS glen
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+              QUALIFY lead(tok, 1) OVER w IS NOT NULL
+            ),
+            c2 AS (SELECT doc_id, gkey, glen, count(*) AS c
+                   FROM g2 GROUP BY ALL),
+            m2 AS (SELECT doc_id, max(c) AS mc FROM c2 GROUP BY doc_id),
+            t2 AS (
+              SELECT c2.doc_id,
+                     1000 * first(m2.mc) * max(c2.glen) // first(tot.tot) AS v
+              FROM c2 JOIN m2 USING (doc_id) JOIN tot USING (doc_id)
+              WHERE c2.c = m2.mc GROUP BY c2.doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, idx,
+                     tok || chr(1) || lead(tok, 1) OVER w || chr(1)
+                         || lead(tok, 2) OVER w AS gkey,
+                     length(tok) + length(lead(tok, 1) OVER w)
+                         + length(lead(tok, 2) OVER w) AS glen
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+              QUALIFY lead(tok, 2) OVER w IS NOT NULL
+            ),
+            c3 AS (SELECT doc_id, gkey, glen, count(*) AS c
+                   FROM g3 GROUP BY ALL),
+            m3 AS (SELECT doc_id, max(c) AS mc FROM c3 GROUP BY doc_id),
+            t3 AS (
+              SELECT c3.doc_id,
+                     1000 * first(m3.mc) * max(c3.glen) // first(tot.tot) AS v
+              FROM c3 JOIN m3 USING (doc_id) JOIN tot USING (doc_id)
+              WHERE c3.c = m3.mc GROUP BY c3.doc_id
+            ),
+            g4 AS (
+              SELECT doc_id, idx,
+                     tok || chr(1) || lead(tok, 1) OVER w || chr(1)
+                         || lead(tok, 2) OVER w || chr(1)
+                         || lead(tok, 3) OVER w AS gkey,
+                     length(tok) + length(lead(tok, 1) OVER w)
+                         + length(lead(tok, 2) OVER w)
+                         + length(lead(tok, 3) OVER w) AS glen
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+              QUALIFY lead(tok, 3) OVER w IS NOT NULL
+            ),
+            c4 AS (SELECT doc_id, gkey, glen, count(*) AS c
+                   FROM g4 GROUP BY ALL),
+            m4 AS (SELECT doc_id, max(c) AS mc FROM c4 GROUP BY doc_id),
+            t4 AS (
+              SELECT c4.doc_id,
+                     1000 * first(m4.mc) * max(c4.glen) // first(tot.tot) AS v
+              FROM c4 JOIN m4 USING (doc_id) JOIN tot USING (doc_id)
+              WHERE c4.c = m4.mc GROUP BY c4.doc_id
+            ),
+            g5 AS (
+              SELECT doc_id, idx,
+                     tok || chr(1) || lead(tok, 1) OVER w || chr(1)
+                         || lead(tok, 2) OVER w || chr(1)
+                         || lead(tok, 3) OVER w || chr(1)
+                         || lead(tok, 4) OVER w AS gkey
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+              QUALIFY lead(tok, 4) OVER w IS NOT NULL
+            ),
+            c5 AS (SELECT doc_id, gkey FROM g5
+                   GROUP BY doc_id, gkey HAVING count(*) >= 2),
+            cov5 AS (SELECT DISTINCT g5.doc_id, g5.idx + r.o AS p
+                     FROM g5 JOIN c5 USING (doc_id, gkey), range(0, 5) r(o)),
+            d5 AS (
+              SELECT cov5.doc_id,
+                     1000 * sum(length(tok.tok)) // first(tot.tot) AS v
+              FROM cov5
+              JOIN tok ON tok.doc_id = cov5.doc_id AND tok.idx = cov5.p
+              JOIN tot ON tot.doc_id = cov5.doc_id
+              GROUP BY cov5.doc_id
+            ),
+            g10 AS (
+              SELECT doc_id, idx,
+                     tok || chr(1) || lead(tok, 1) OVER w || chr(1)
+                         || lead(tok, 2) OVER w || chr(1)
+                         || lead(tok, 3) OVER w || chr(1)
+                         || lead(tok, 4) OVER w || chr(1)
+                         || lead(tok, 5) OVER w || chr(1)
+                         || lead(tok, 6) OVER w || chr(1)
+                         || lead(tok, 7) OVER w || chr(1)
+                         || lead(tok, 8) OVER w || chr(1)
+                         || lead(tok, 9) OVER w AS gkey
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+              QUALIFY lead(tok, 9) OVER w IS NOT NULL
+            ),
+            c10 AS (SELECT doc_id, gkey FROM g10
+                    GROUP BY doc_id, gkey HAVING count(*) >= 2),
+            cov10 AS (SELECT DISTINCT g10.doc_id, g10.idx + r.o AS p
+                      FROM g10 JOIN c10 USING (doc_id, gkey),
+                           range(0, 10) r(o)),
+            d10 AS (
+              SELECT cov10.doc_id,
+                     1000 * sum(length(tok.tok)) // first(tot.tot) AS v
+              FROM cov10
+              JOIN tok ON tok.doc_id = cov10.doc_id AND tok.idx = cov10.p
+              JOIN tot ON tot.doc_id = cov10.doc_id
+              GROUP BY cov10.doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(lin_sig.dup_line_milli AS BIGINT) AS dup_line_milli,
+                   CAST(lin_sig.dup_line_char_milli AS BIGINT)
+                       AS dup_line_char_milli,
+                   CAST(coalesce(t2.v, 0) AS BIGINT) AS top2_char_milli,
+                   CAST(coalesce(t3.v, 0) AS BIGINT) AS top3_char_milli,
+                   CAST(coalesce(t4.v, 0) AS BIGINT) AS top4_char_milli,
+                   CAST(coalesce(d5.v, 0) AS BIGINT) AS dup5_char_milli,
+                   CAST(coalesce(d10.v, 0) AS BIGINT) AS dup10_char_milli
+            FROM built b
+            JOIN lin_sig USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN t4 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id)
+            LEFT JOIN d10 USING (doc_id)
         """,
         "bpe_tokens": r"""
             SELECT doc_id,

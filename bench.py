@@ -180,6 +180,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "gopher_gate",
         "bpe_tokens",
         "source_quality",
+        "repetition_profile",
     ]
     times = {}
     for name in picked:

@@ -303,6 +303,92 @@ def stopword_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_profile_batch(batch: pa.Table) -> pa.Table:
+    """The Gopher/MassiveText repetition signal family (Rae et al. 2021,
+    Table A1) beyond :func:`repetition_batch`'s dup-3-gram fraction — all
+    exact integer milli values so the DuckDB oracle matches bit for bit:
+
+      dup_line_milli        lines that repeat an earlier line / lines
+      dup_line_char_milli   chars in those repeat lines / chars in all lines
+      top{2,3,4}_char_milli count(most frequent n-gram) x its token chars
+                            / total token chars (ties: max count first,
+                            then max char length; can exceed 1000 for
+                            self-overlapping repeats — uncapped, like the
+                            published implementations)
+      dup{5,10}_char_milli  token chars covered by the UNION of positions
+                            of n-grams occurring >= 2 times / total token
+                            chars
+
+    Tokens are whitespace-split (empties dropped); n-gram char length is
+    the sum of its token lengths (separators excluded on both sides of the
+    oracle).  A per-document combiner — Python dict counting per doc, the
+    same accepted shape as ``repetition_batch`` — no exchange, no state."""
+    out: dict[str, list[int]] = {
+        "dup_line_milli": [],
+        "dup_line_char_milli": [],
+        "top2_char_milli": [],
+        "top3_char_milli": [],
+        "top4_char_milli": [],
+        "dup5_char_milli": [],
+        "dup10_char_milli": [],
+    }
+    for text in batch.column("text").to_pylist():
+        text = text or ""
+        lines = text.split("\n")
+        seen: set[str] = set()
+        dup_cnt = dup_chars = tot_line_chars = 0
+        for ln in lines:
+            tot_line_chars += len(ln)
+            if ln in seen:
+                dup_cnt += 1
+                dup_chars += len(ln)
+            else:
+                seen.add(ln)
+        out["dup_line_milli"].append(1000 * dup_cnt // len(lines))
+        out["dup_line_char_milli"].append(
+            1000 * dup_chars // tot_line_chars if tot_line_chars else 0
+        )
+        toks = text.split()
+        tok_lens = [len(t) for t in toks]
+        tot = sum(tok_lens)
+        for n in (2, 3, 4):
+            key = f"top{n}_char_milli"
+            if len(toks) < n or tot == 0:
+                out[key].append(0)
+                continue
+            counts: dict[tuple, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = tuple(toks[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            best_c = max(counts.values())
+            best_len = max(
+                sum(map(len, g)) for g, c in counts.items() if c == best_c
+            )
+            out[key].append(1000 * best_c * best_len // tot)
+        for n in (5, 10):
+            key = f"dup{n}_char_milli"
+            if len(toks) < n or tot == 0:
+                out[key].append(0)
+                continue
+            counts = {}
+            grams = []
+            for i in range(len(toks) - n + 1):
+                g = tuple(toks[i : i + n])
+                grams.append(g)
+                counts[g] = counts.get(g, 0) + 1
+            covered: set[int] = set()
+            for i, g in enumerate(grams):
+                if counts[g] >= 2:
+                    covered.update(range(i, i + n))
+            out[key].append(
+                1000 * sum(tok_lens[p] for p in covered) // tot
+            )
+    return pa.table(
+        {"doc_id": batch.column("doc_id")}
+        | {k: pa.array(v, pa.int64()) for k, v in out.items()}
+    )
+
+
 # GPT-2-style pre-tokenizer pattern, RE2-safe (no lookahead): contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs, then
 # whitespace runs.  The original's trailing `\s+(?!\S)` split is dropped

@@ -1229,3 +1229,30 @@ def test_bpe_token_count():
     # "It's a test-case: 42!" -> It|'s| a| test|-|case|:| 42|! = 9
     assert t.column("n_bpe_tokens").to_pylist() == [9, 0, 1, 2]
     assert t.column("n_ws_tokens").to_pylist() == [4, 0, 0, 1]
+
+
+def test_repetition_profile_hand_computed():
+    """Gopher Table-A1 repetition family: each signal against a
+    hand-computed fixture."""
+    docs = [
+        # lines: a / b / a  -> 1 of 3 lines duplicate (333), chars 1 of 3
+        "a\nb\na",
+        # tokens: x x x (len 1 each, tot 3); top 2-gram ('x','x') count 2,
+        # len 2 -> 1000*2*2//3 = 1333 (uncapped overlap)
+        "x x x",
+        # 'w1 w2 w3 w4 w5 w1 w2 w3 w4 w5': dup-5-gram covers all 10
+        # positions (ngram w1..w5 occurs twice) -> 1000
+        "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5",
+        "",
+    ]
+    t = textstats.repetition_profile_batch(_docs_table(docs))
+    r = {c: t.column(c).to_pylist() for c in t.column_names}
+    assert r["dup_line_milli"][0] == 333
+    assert r["dup_line_char_milli"][0] == 333
+    assert r["top2_char_milli"][1] == 1333
+    assert r["dup5_char_milli"][2] == 1000
+    # 10 tokens -> exactly one 10-gram, count 1 -> no duplicate 10-gram
+    assert r["dup10_char_milli"][2] == 0
+    assert all(v == 0 for v in (
+        r["dup_line_milli"][3], r["top2_char_milli"][3],
+        r["dup5_char_milli"][3], r["dup10_char_milli"][3]))
