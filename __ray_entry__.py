@@ -1867,6 +1867,57 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_logprob(ds, top_k=None, max_token_chars=None)
 
 
+def _q_quality_pipeline(sf_dir: str):
+    """Multi-stage quality composition, oracle-checked END TO END:
+    boilerplate line scrub (corpus-frequency, broadcast set) -> full
+    Gopher gate on the SCRUBBED text -> surviving (doc_id, text).  The
+    same construction as line_scrub/gopher_gate (3-line docs, stopword
+    suffix on every 3rd) so all stages exercise both outcomes.  Scale
+    shape: one fixed-width count groupby + one broadcast + two row-local
+    passes — document text never crosses an exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.dedup import line_scrub
+    from fuzi_rd.functions.textstats import gopher_gate_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        v4 = pc.cast(pc.bit_wise_and(did, 3), pa.string())
+        v5 = pc.cast(
+            pa.array(did.to_numpy(zero_copy_only=False) % 5, pa.int64()),
+            pa.string(),
+        )
+        three = pa.array(
+            did.to_numpy(zero_copy_only=False) % 3 == 0, pa.bool_()
+        )
+        suffix = pc.if_else(three, " of the and that have with.", "")
+        full = pc.binary_join_element_wise(
+            "Nav menu variant ",
+            v4,
+            "\n",
+            batch.column("text"),
+            suffix,
+            "\n",
+            "Footer links variant ",
+            v5,
+            "",
+        )
+        return pa.table({"doc_id": did, "text": full})
+
+    scrubbed = line_scrub(
+        ds.map_batches(build, batch_format="pyarrow"), min_docs=3
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ok = gopher_gate_batch(batch).column("gopher_ok")
+        return batch.filter(pc.fill_null(ok, False))
+
+    return scrubbed.map_batches(gate, batch_format="pyarrow")
+
+
 def _q_repetition_profile(sf_dir: str):
     """Gopher Table-A1 repetition signals (dup-line fractions, top-2/3/4-
     gram char fraction, dup-5/10-gram covered-char fraction) — the sf docs
@@ -2210,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": _q_bpe_tokens,
         "source_quality": _q_source_quality,
         "repetition_profile": _q_repetition_profile,
+        "quality_pipeline": _q_quality_pipeline,
         "ppl_buckets": _q_ppl_buckets,
         "line_scrub": _q_line_scrub,
         "logodds_score": _q_logodds_score,
@@ -2638,6 +2690,90 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "quality_pipeline": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     'Nav menu variant ' || CAST(doc_id % 4 AS VARCHAR)
+                       || chr(10) || text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' of the and that have with.'
+                               ELSE '' END
+                       || chr(10)
+                       || 'Footer links variant ' || CAST(doc_id % 5 AS VARCHAR)
+                       AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                         AS idx
+              FROM built
+            ),
+            boiler AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+            ),
+            kept AS (
+              SELECT l.doc_id, l.line, l.idx FROM lines l
+              WHERE l.line NOT IN (SELECT line FROM boiler)
+            ),
+            scrubbed AS (
+              SELECT b.doc_id, coalesce(k.text, '') AS text
+              FROM built b LEFT JOIN (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+                FROM kept GROUP BY doc_id
+              ) k USING (doc_id)
+            ),
+            sig AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens,
+                     length(regexp_replace(trim(text), '\s', '', 'g'))
+                         AS word_chars,
+                     length(text) - length(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\.\.\.'))
+                       + length(text) - length(replace(text, '…', ''))
+                         AS n_sym,
+                     length(text) - length(replace(text, chr(10), '')) + 1
+                         AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[•\-\*]'))
+                         AS n_bullet,
+                     len(regexp_extract_all(text, '(?m)\.\.\.$'))
+                         AS n_ellipsis_end,
+                     len(regexp_extract_all(
+                         ' ' || regexp_replace(trim(text), '\s+', '  ', 'g')
+                             || ' ',
+                         ' [^ ]*[A-Za-z][^ ]* ')) AS n_alpha_tokens,
+                     (CASE WHEN regexp_matches(lower(text), '\bthe\b')
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bbe\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bto\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bof\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\band\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bthat\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bhave\b')
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bwith\b')
+                             THEN 1 ELSE 0 END) AS n_stop_kinds
+              FROM scrubbed
+            )
+            SELECT doc_id, text FROM sig
+            WHERE n_tokens BETWEEN 50 AND 100000
+              AND 3 * n_tokens <= word_chars
+              AND word_chars <= 10 * n_tokens
+              AND 10 * n_sym <= n_tokens
+              AND 10 * n_bullet < 9 * n_lines
+              AND 10 * n_ellipsis_end < 3 * n_lines
+              AND 5 * n_alpha_tokens >= 4 * n_tokens
+              AND n_stop_kinds >= 2
         """,
         "repetition_profile": r"""
             WITH built AS (

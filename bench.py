@@ -181,6 +181,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "bpe_tokens",
         "source_quality",
         "repetition_profile",
+        "quality_pipeline",
     ]
     times = {}
     for name in picked:
