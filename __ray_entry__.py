@@ -1918,6 +1918,73 @@ def _q_quality_pipeline(sf_dir: str):
     return scrubbed.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_c4_filter(sf_dir: str):
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2) as
+    one vectorized batch pass, oracle-checked END TO END.  The sf docs are
+    single-line word soup, so a deterministic build step first shapes each
+    into a multi-line page exercising every rule both ways: terminal-punct
+    and word-count line drops (doc_id parity / 'Short line'), the
+    javascript line drop (doc_id%5), the lorem-ipsum (%11) and curly-brace
+    (%13) page drops, and the too-few-surviving-lines page drop (%9).
+    Scale shape: row-local Arrow kernels only — no exchange, no state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.textstats import c4_clean_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        d = did.to_numpy(zero_copy_only=False)
+
+        def mod(k):
+            return pa.array(d % k == 0, pa.bool_())
+
+        l3_end = pc.if_else(mod(2), ".", "")
+        l4 = pc.if_else(
+            mod(5),
+            "Enable javascript to view this page.",
+            "A perfectly normal sentence appears here!",
+        )
+        l6 = pc.if_else(
+            mod(11),
+            "Contains lorem ipsum filler text.",
+            "Closing line of the document.",
+        )
+        l7 = pc.if_else(
+            mod(13),
+            "var f = function() { return 1; };",
+            'He said "It ends with a quote."',
+        )
+        seven = pc.binary_join_element_wise(
+            "This is sentence number ",
+            pc.cast(pa.array(d % 7, pa.int64()), pa.string()),
+            " of the corpus document.\nShort line\n",
+            pc.utf8_slice_codeunits(batch.column("text"), 0, 80),
+            l3_end,
+            "\n",
+            l4,
+            "\nIs this really a question?\n",
+            l6,
+            "\n",
+            l7,
+            "",
+        )
+        full = pc.if_else(
+            mod(9),
+            "no punctuation here at all\nanother line without ending\n"
+            "Only one good sentence exists here.",
+            seven,
+        )
+        return pa.table({"doc_id": did, "text": full})
+
+    return ds.map_batches(build, batch_format="pyarrow").map_batches(
+        c4_clean_batch, batch_format="pyarrow"
+    )
+
+
 def _q_repetition_profile(sf_dir: str):
     """Gopher Table-A1 repetition signals (dup-line fractions, top-2/3/4-
     gram char fraction, dup-5/10-gram covered-char fraction) — the sf docs
@@ -2262,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality": _q_source_quality,
         "repetition_profile": _q_repetition_profile,
         "quality_pipeline": _q_quality_pipeline,
+        "c4_filter": _q_c4_filter,
         "ppl_buckets": _q_ppl_buckets,
         "line_scrub": _q_line_scrub,
         "logodds_score": _q_logodds_score,
@@ -2774,6 +2842,65 @@ def oracle_sql() -> dict[str, str]:
               AND 10 * n_ellipsis_end < 3 * n_lines
               AND 5 * n_alpha_tokens >= 4 * n_tokens
               AND n_stop_kinds >= 2
+        """,
+        "c4_filter": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0 THEN
+                       'no punctuation here at all' || chr(10)
+                       || 'another line without ending' || chr(10)
+                       || 'Only one good sentence exists here.'
+                     ELSE
+                       'This is sentence number ' || CAST(doc_id % 7 AS VARCHAR)
+                       || ' of the corpus document.' || chr(10)
+                       || 'Short line' || chr(10)
+                       || substr(text, 1, 80)
+                       || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+                       || chr(10)
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN 'Enable javascript to view this page.'
+                               ELSE 'A perfectly normal sentence appears here!'
+                          END
+                       || chr(10) || 'Is this really a question?' || chr(10)
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN 'Contains lorem ipsum filler text.'
+                               ELSE 'Closing line of the document.'
+                          END
+                       || chr(10)
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN 'var f = function() { return 1; };'
+                               ELSE 'He said "It ends with a quote."'
+                          END
+                     END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     trim(unnest(string_split(text, chr(10))),
+                          ' ' || chr(9) || chr(13) || chr(12) || chr(11))
+                         AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                         AS idx
+              FROM built
+            ),
+            kept AS (
+              SELECT doc_id, line, idx FROM lines
+              WHERE (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+                     OR line LIKE '%"')
+                AND len(regexp_extract_all(line, '\S+')) >= 5
+                AND NOT contains(lower(line), 'javascript')
+            ),
+            pages AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS text,
+                     count(*) AS n_lines
+              FROM kept GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.text, CAST(p.n_lines AS BIGINT) AS n_lines
+            FROM pages p JOIN built b USING (doc_id)
+            WHERE p.n_lines >= 3
+              AND NOT contains(lower(b.text), 'lorem ipsum')
+              AND NOT contains(b.text, '{')
         """,
         "repetition_profile": r"""
             WITH built AS (

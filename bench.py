@@ -182,6 +182,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "source_quality",
         "repetition_profile",
         "quality_pipeline",
+        "c4_filter",
     ]
     times = {}
     for name in picked:

@@ -521,6 +521,98 @@ def gopher_gate_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# C4 terminal punctuation (Raffel et al. 2020 §2.2: period, exclamation
+# mark, question mark, or end quotation mark).
+_C4_END_MARKS = (".", "!", "?", '"')
+
+
+def c4_clean_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    sep: str = "\n",
+) -> pa.Table:
+    """The published C4 cleaning heuristics (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning", §2.2 — the filter that produced the
+    C4 corpus) as ONE vectorized batch pass:
+
+      line level (a line is kept only if ALL hold, after strip):
+        1. ends in terminal punctuation: ``. ! ? "``
+        2. has >= ``min_words_per_line`` whitespace-separated words (5)
+        3. does not contain the word "javascript" (case-insensitive)
+      page level (the document is dropped unless ALL hold):
+        4. >= ``min_lines`` surviving lines (3; C4 counts *sentences* via
+           NLTK — surviving lines are this build's deterministic,
+           oracle-exact proxy, documented deviation)
+        5. does not contain "lorem ipsum" (case-insensitive)
+        6. does not contain a curly brace ``{``
+
+    (C4's bad-words page drop needs its external word list and is covered
+    separately by the quality gates; the span dedup C4 pairs with these
+    rules is :func:`fuzi_rd.functions.dedup` ``dup_span_scrub``.)
+
+    Everything is Arrow-kernel work — split to a list array, per-line
+    predicates on the flattened child, surviving lines re-listed via
+    numpy offset arithmetic and re-joined with ``pc.binary_join`` — no
+    Python loop, no exchange, no state: embarrassingly parallel at any
+    scale.  All predicates are RE2/substring kernels DuckDB mirrors
+    exactly, so the whole operator is SQL-oracle-checkable.
+
+    Returns the surviving rows with ``text_col`` replaced by the cleaned
+    text (kept lines joined by ``sep``) and an ``n_lines`` kept-line
+    count; all other columns pass through.
+    """
+    import numpy as np
+
+    text = pc.fill_null(batch.column(text_col), "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines = pc.split_pattern(text, sep)
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = pc.list_flatten(lines)
+    # line.strip() on the classic whitespace set (matches DuckDB
+    # trim(line, ' ' || chr(9) || chr(13) || chr(12) || chr(11)))
+    stripped = pc.utf8_trim(flat, " \t\r\f\v")
+
+    ends_ok = pc.ends_with(stripped, _C4_END_MARKS[0])
+    for mark in _C4_END_MARKS[1:]:
+        ends_ok = pc.or_(ends_ok, pc.ends_with(stripped, mark))
+    n_words = pc.count_substring_regex(stripped, r"\S+")
+    words_ok = pc.greater_equal(n_words, min_words_per_line)
+    no_js = pc.invert(
+        pc.match_substring(stripped, "javascript", ignore_case=True)
+    )
+    keep_line = pc.and_(pc.and_(ends_ok, words_ok), no_js)
+
+    keep_np = keep_line.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(keep_np)))
+    new_offsets = csum[offsets]
+    kept = pa.ListArray.from_arrays(
+        pa.array(new_offsets, pa.int32()), pc.filter(stripped, keep_line)
+    )
+    cleaned = pc.binary_join(kept, sep)
+    n_kept = pa.array(np.diff(new_offsets), pa.int64())
+
+    page_ok = pc.and_(
+        pc.and_(
+            pc.greater_equal(n_kept, min_lines),
+            pc.invert(
+                pc.match_substring(text, "lorem ipsum", ignore_case=True)
+            ),
+        ),
+        pc.invert(pc.match_substring(text, "{")),
+    )
+
+    out = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, cleaned
+    ).append_column("n_lines", n_kept)
+    return out.filter(page_ok)
+
+
 def pii_scrub_batch(batch: pa.Table) -> pa.Table:
     """Redaction pass: replace email-like and URL-like substrings with
     placeholder tokens — two vectorized ``pc.replace_substring_regex``

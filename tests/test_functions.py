@@ -1220,6 +1220,86 @@ def test_gopher_gate_empty_doc():
     assert t.column("gopher_ok").to_pylist() == [False, False]
 
 
+def test_c4_clean_each_rule():
+    """Each published C4 rule exercised both ways against a literal Python
+    reference implementation of Raffel et al. §2.2."""
+    docs = [
+        # 3 keepers + junk lines -> survives with junk scrubbed
+        "This is a perfectly good sentence.\nShort line\n"
+        "Another fine long sentence right here!\n"
+        "And a third keeper sentence stays too?",
+        # javascript line drop leaves <3 lines -> page dropped
+        "Enable javascript to view this page.\n"
+        "Only one good sentence is not enough.",
+        # lorem ipsum -> page dropped despite 4 good lines
+        "Good sentence number one stands here.\n"
+        "Good sentence number two stands here.\n"
+        "Good sentence number three is fine.\n"
+        "Now some lorem ipsum dolor sit amet.",
+        # curly brace -> page dropped
+        "Good sentence number one stands here.\n"
+        "Good sentence number two stands here.\n"
+        "var f = function() { return 1; };\n"
+        "Good sentence number three is fine.",
+        # strip + end-quote keeps; 4-word line drops -> 2 kept -> dropped
+        '  Padded line ends with a quote."\t\n'
+        "No terminal punctuation on this line\n"
+        "What about a question mark here?\nFour words only here.",
+        None,
+        "",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+
+    def ref(t):
+        if t is None:
+            t = ""
+        kept = [ln.strip(" \t\r\f\v") for ln in t.split("\n")]
+        kept = [
+            ln
+            for ln in kept
+            if ln.endswith((".", "!", "?", '"'))
+            and len(ln.split()) >= 5
+            and "javascript" not in ln.lower()
+        ]
+        if len(kept) < 3 or "lorem ipsum" in t.lower() or "{" in t:
+            return None
+        return "\n".join(kept), len(kept)
+
+    expect = [(i, *r) for i, t in enumerate(docs) if (r := ref(t))]
+    out = textstats.c4_clean_batch(batch)
+    got = [
+        (r["doc_id"], r["text"], r["n_lines"]) for r in out.to_pylist()
+    ]
+    assert got == expect
+    assert len(got) == 1 and got[0][2] == 3
+
+
+def test_c4_clean_passthrough_columns():
+    """Non-text columns survive the page filter aligned with their rows."""
+    good = (
+        "First keeper sentence stands right here.\n"
+        "Second keeper sentence stands right here.\n"
+        "Third keeper sentence stands right here."
+    )
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "source": pa.array(["a", "b"], pa.string()),
+            "text": pa.array([good, "no keepers at all"], pa.string()),
+        }
+    )
+    out = textstats.c4_clean_batch(batch)
+    assert out.column_names == ["doc_id", "source", "text", "n_lines"]
+    assert out.to_pylist() == [
+        {"doc_id": 7, "source": "a", "text": good, "n_lines": 3}
+    ]
+
+
 def test_bpe_token_count():
     """BPE-ish regex pre-token counts: contractions split, punctuation
     runs separate, whitespace-run-as-one-token documented semantics."""
