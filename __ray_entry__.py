@@ -515,6 +515,20 @@ def _q_emb_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.45, max_rows=100_000)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup over
+    the embeddings table — sample-fit centroids broadcast once, per-batch
+    assignment, per-cluster all-pairs cosine + union-find keeper choice
+    (keep the member least similar to its centroid).  Threshold 0.45 is
+    non-trivial on the synthetic embeddings (max pairwise sim ~0.51), so
+    both keep outcomes occur.  Rows-only (iterative k-means, no SQL);
+    keeper semantics pinned by the numpy-reference test."""
+    from fuzi_rd.functions.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, n_clusters=8, threshold=0.45)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Within-document n-gram repetition fraction (Gopher-style quality
     signal), exact milli units."""
@@ -2302,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk": _q_sim_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "emb_near_dup": _q_emb_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,

@@ -183,6 +183,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "repetition_profile",
         "quality_pipeline",
         "c4_filter",
+        "semantic_dedup",
     ]
     times = {}
     for name in picked:

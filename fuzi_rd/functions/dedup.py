@@ -1231,6 +1231,145 @@ def embedding_near_dup(
     return ds.map_batches(PairScan, batch_format="pyarrow", concurrency=(1, 8))
 
 
+DEFAULT_SEMDEDUP_MAX_CLUSTER = 100_000
+
+
+def semantic_dedup(
+    ds,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_size: int = 2048,
+    max_cluster_rows: int = DEFAULT_SEMDEDUP_MAX_CLUSTER,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — remove documents whose
+    embeddings are near-identical in meaning even when their text differs
+    byte-wise (translations, templated rewrites, boilerplate paraphrases).
+
+    The published algorithm, Ray-Data-shaped:
+
+    1. k-means centroids fit driver-side on a bounded ``sample_size``
+       sample (deterministic seed — same quantizer as the IVF index);
+    2. centroids broadcast ONCE via ``ray.put``; one ``map_batches`` pass
+       assigns each row its nearest centroid (vectorized matmul) and its
+       cosine similarity to that centroid;
+    3. ``groupby(cluster).map_groups``: exact pairwise cosine INSIDE each
+       cluster only (the paper's trick — all-pairs over n/k-sized clusters,
+       never the corpus), union-find over pairs with sim >= ``threshold``,
+       and from every duplicate group keep exactly one row — the member
+       with the LOWEST similarity to its centroid (the paper's keeper
+       rule: prefer the least prototypical example; min vec_id tiebreak).
+
+    The only exchange is the cluster groupby; embeddings cross it once.
+    ``max_cluster_rows`` hard-fails a pathologically hot cluster instead
+    of letting one group go O(n^2) — at corpus scale raise ``n_clusters``
+    so expected cluster size stays bounded (the paper uses n/k ~= 1-10k).
+
+    Returns (vec_id, cluster, cent_sim_milli, keep); filter ``keep`` for
+    the surviving corpus, or join survivors back by vec_id.  Rows-only
+    correctness (iterative k-means has no SQL oracle); keeper semantics
+    are pinned by a numpy-reference test.
+    """
+    import ray
+
+    from .simsearch import _kmeans
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]
+    )
+    cents = _kmeans(sample, n_clusters)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cents_ref = ray.put((cents, cents / cnorm[:, None]))
+
+    class _Assign:
+        def __init__(self):
+            self.cents, self.cents_n = ray.get(cents_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            m = (
+                col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            ).reshape(len(batch), -1)
+            d2 = ((m[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+            cluster = d2.argmin(axis=1)
+            nm = np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            cent_sim = ((m / nm[:, None]) * self.cents_n[cluster]).sum(axis=1)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "cluster": pa.array(cluster, pa.int32()),
+                    "cent_sim_milli": pa.array(
+                        np.floor(cent_sim * 1000).astype(np.int64), pa.int64()
+                    ),
+                    "embedding": col,
+                }
+            )
+
+    def _dedupe_cluster(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows}; raise n_clusters so "
+                f"per-cluster all-pairs stays bounded (expected size n/k)"
+            )
+        bid = group.column("vec_id").to_numpy()
+        csim = group.column("cent_sim_milli").to_numpy()
+        col = group.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = (
+            col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        ).reshape(n, -1)
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        mn = m / nm[:, None]
+        ii, jj = np.nonzero((mn @ mn.T >= threshold))
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ii, jj):
+            if a < b:
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[rb] = ra
+        roots = np.array([find(int(i)) for i in range(n)])
+        # keeper per duplicate group: lowest centroid similarity, then
+        # lowest vec_id — deterministic regardless of shuffle order
+        order = np.lexsort((bid, csim))
+        keep = np.zeros(n, dtype=bool)
+        seen: set[int] = set()
+        for i in order:
+            r = int(roots[i])
+            if r not in seen:
+                seen.add(r)
+                keep[i] = True
+        return pa.table(
+            {
+                "vec_id": pa.array(bid, pa.int64()),
+                "cluster": group.column("cluster"),
+                "cent_sim_milli": pa.array(csim, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("cluster")
+        .map_groups(_dedupe_cluster, batch_format="pyarrow")
+    )
+
+
 def embedding_near_dup_lsh(ds, threshold: float = 0.9, n_planes: int = 12):
     """Scale path for embedding near-dup: random-hyperplane signature
     bucketing (groupby on the signature) -> exact cosine verify within each

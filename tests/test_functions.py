@@ -748,6 +748,61 @@ def test_embedding_near_dup_exact(ray_session):
     assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 7)}
 
 
+def test_semantic_dedup_keeper_rule(ray_session):
+    """SemDeDup keeper semantics pinned on hand-computed geometry: two
+    well-separated angular clusters; within each, the duplicate group
+    keeps its LEAST-centroid-similar member (min vec_id on exact tie)."""
+    import math
+
+    import ray
+
+    angles = [0, 5, 40, 90, 93, 96]  # degrees
+    mat = np.array(
+        [[math.cos(math.radians(a)), math.sin(math.radians(a))] for a in angles]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    rows = dedup.semantic_dedup(ds, n_clusters=2, threshold=0.95).take_all()
+    keep = {r["vec_id"]: r["keep"] for r in rows}
+    # {0,5 deg} dup pair: 0 deg is farther from the ~15 deg centroid -> kept
+    # 40 deg: singleton. {90,93,96}: one group; 90 vs 96 tie on centroid
+    # sim (centroid is exactly 93 deg) -> min vec_id (3) kept.
+    assert keep == {0: True, 1: False, 2: True, 3: True, 4: False, 5: False}
+    # the two clusters never mix
+    clusters = {r["vec_id"]: r["cluster"] for r in rows}
+    assert {clusters[0], clusters[1], clusters[2]} != {clusters[3]}
+    assert clusters[3] == clusters[4] == clusters[5]
+    assert clusters[0] == clusters[1] == clusters[2]
+
+
+def test_semantic_dedup_cluster_cap(ray_session):
+    import pytest
+    import ray
+
+    rng = np.random.RandomState(2)
+    mat = rng.standard_normal((20, 4))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(
+        (ValueError, ray.exceptions.RayTaskError), match="max_cluster_rows"
+    ):
+        dedup.semantic_dedup(ds, n_clusters=1, max_cluster_rows=5).take_all()
+
+
 def test_embedding_near_dup_max_rows_cap(ray_session):
     """The exact baseline hard-fails past max_rows instead of silently
     materializing an unbounded matrix on the driver (VERDICT r2 item 3)."""
