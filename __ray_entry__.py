@@ -529,6 +529,21 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, n_clusters=8, threshold=0.45)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Token-budget mixture sampling (the data-mixing step: per-source
+    token budgets -> deterministic document subset).  Two-stage broadcast:
+    one fixed-width (source, bucket) token-sum groupby, per-source bucket
+    cumsum + cutoff on the driver, cutoffs broadcast, row-local filter —
+    text never crosses an exchange.  Budget 700 of ~1300 tokens/source at
+    sf0.01, so every source keeps a strict non-empty subset."""
+    from fuzi_rd.functions.sampling import mixture_token_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return mixture_token_sample(ds, budgets=700).select_columns(
+        ["doc_id", "source", "n_tokens"]
+    )
+
+
 def _q_doc_repetition(sf_dir: str):
     """Within-document n-gram repetition fraction (Gopher-style quality
     signal), exact milli units."""
@@ -2317,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "emb_near_dup": _q_emb_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "mixture_sample": _q_mixture_sample,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
@@ -3478,6 +3494,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "mixture_sample": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT source, bucket, sum(n_tokens) AS btok
+              FROM t GROUP BY source, bucket
+            ),
+            c AS (
+              SELECT source, bucket,
+                     CAST(sum(btok) OVER (
+                       PARTITION BY source ORDER BY bucket
+                     ) AS BIGINT) AS cum
+              FROM b
+            ),
+            cut AS (
+              SELECT source, max(bucket) AS cutoff
+              FROM c WHERE cum <= 700 GROUP BY source
+            )
+            SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens
+            FROM t JOIN cut USING (source)
+            WHERE t.bucket <= cut.cutoff
         """,
         "doc_sample": """
             -- first md5 byte < 26 (0x1a): the two leading lowercase hex

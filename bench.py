@@ -184,6 +184,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "quality_pipeline",
         "c4_filter",
         "semantic_dedup",
+        "mixture_sample",
     ]
     times = {}
     for name in picked:

@@ -30,7 +30,13 @@ import hashlib
 
 import pyarrow as pa
 
-__all__ = ["stratified_sample_keep", "split_assign"]
+__all__ = [
+    "stratified_sample_keep",
+    "split_assign",
+    "mixture_token_sample",
+]
+
+DEFAULT_MAX_MIXTURE_STRATA = 100_000
 
 
 def stratified_sample_keep(
@@ -95,3 +101,134 @@ def split_assign(
         return batch.append_column(col, pa.array(labels, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _mixture_annotate(
+    id_col: str, text_col: str
+):
+    """Row-local bucket + token-count annotation shared by both passes of
+    :func:`mixture_token_sample`.  Bucket = first two md5 hex chars of the
+    id ('00'..'ff', 256 buckets) — a STRING, so lexicographic comparison
+    equals numeric comparison and the DuckDB oracle needs no hex-to-int
+    conversion (same trick as ``doc_sample``)."""
+    import pyarrow.compute as pc
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        bucket = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest()[:2]
+                for i in batch.column(id_col).to_pylist()
+            ],
+            pa.string(),
+        )
+        trimmed = pc.utf8_trim_whitespace(
+            pc.fill_null(batch.column(text_col), "")
+        )
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(
+            pc.equal(pc.utf8_length(trimmed), 0),
+            pa.scalar(0, pa.int32()),
+            n,
+        )
+        return batch.append_column("bucket", bucket).append_column(
+            "n_tokens", pc.cast(n, pa.int64())
+        )
+
+    return annotate
+
+
+def mixture_token_sample(
+    ds,
+    budgets: dict[str, int] | int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_strata: int = DEFAULT_MAX_MIXTURE_STRATA,
+):
+    """Token-budget mixture sampling — the data-mixing step that turns
+    per-source weights (DoReMi / The Pile style mixture proportions) into
+    an actual document subset: from every source keep a deterministic
+    subset whose total whitespace-token count is the largest achievable
+    ``<= budget`` at bucket granularity.
+
+    Exact-at-bucket-granularity semantics (no RNG, no sort of the corpus):
+    docs hash into 256 md5 buckets; a source keeps its lexicographically
+    first k buckets where k is the largest prefix whose token cumsum fits
+    the budget.  Kept set is a pure function of (id, budgets) — stable
+    across runs, engines, batch sizes and cluster shapes.
+
+    Scale shape (the stratified-sample two-stage broadcast pattern):
+
+    1. annotate bucket + n_tokens row-local, then ``groupby(source,
+       bucket).sum(n_tokens)`` — the ONLY exchange, fixed-width rows,
+       output bounded by sources x 256 (hard-fail past ``max_strata``);
+    2. per-source bucket cumsum + cutoff on the driver (tiny), cutoffs
+       broadcast once via ``ray.put``;
+    3. row-local filter ``bucket <= cutoff[source]`` (sources with no
+       affordable bucket keep nothing).  Document text never crosses an
+       exchange; the corpus is read twice (count pass + filter pass),
+       the same documented trade as ``line_scrub``.
+
+    ``budgets`` is per-source token budgets (dict) or one budget for every
+    source (int).  Returns the surviving rows plus ``n_tokens``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    annotate = _mixture_annotate(id_col, text_col)
+    btok = (
+        ds.map_batches(annotate, batch_format="pyarrow")
+        .groupby([source_col, "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="btok"))
+    )
+    per_source: dict[str, list[tuple[str, int]]] = {}
+    n_strata = 0
+    for row in btok.iter_rows():
+        n_strata += 1
+        if n_strata > max_strata:
+            raise ValueError(
+                f"mixture_token_sample: > {max_strata} (source, bucket) "
+                "strata; cap source cardinality upstream or raise "
+                "max_strata — the cutoff table must stay driver-sized"
+            )
+        per_source.setdefault(row[source_col], []).append(
+            (row["bucket"], int(row["btok"]))
+        )
+
+    def budget_for(src: str) -> int:
+        if isinstance(budgets, dict):
+            return int(budgets.get(src, 0))
+        return int(budgets)
+
+    cutoffs: dict[str, str] = {}
+    for src, pairs in per_source.items():
+        pairs.sort()
+        cum = 0
+        for bucket, tok in pairs:
+            cum += tok
+            if cum > budget_for(src):
+                break
+            cutoffs[src] = bucket
+    cut_ref = ray.put(cutoffs)
+
+    class _Keep:
+        def __init__(self):
+            self.cut: dict[str, str] = ray.get(cut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cut = self.cut
+            mask = pa.array(
+                [
+                    b <= cut.get(s, "")
+                    for s, b in zip(
+                        batch.column(source_col).to_pylist(),
+                        batch.column("bucket").to_pylist(),
+                    )
+                ],
+                pa.bool_(),
+            )
+            return batch.filter(mask).drop_columns(["bucket"])
+
+    return ds.map_batches(annotate, batch_format="pyarrow").map_batches(
+        _Keep, batch_format="pyarrow", concurrency=(1, 8)
+    )

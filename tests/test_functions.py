@@ -379,6 +379,86 @@ def test_split_assign_deterministic_and_exhaustive(ray_session):
     assert counts["val"] > 0 and counts["test"] > 0
 
 
+def test_mixture_token_sample_budget_semantics(ray_session):
+    """Per-source kept token mass is the LARGEST bucket-prefix cumsum
+    <= budget, verified against a literal Python reference; dict budgets
+    apply per source and an unlisted source keeps nothing."""
+    import hashlib
+
+    import ray
+
+    from fuzi_rd.functions.sampling import mixture_token_sample
+
+    n = 300
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(
+                ["a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c") for i in range(n)],
+                pa.string(),
+            ),
+            # i%7 + 1 tokens per doc
+            "text": pa.array(
+                [" ".join(["w"] * (i % 7 + 1)) for i in range(n)], pa.string()
+            ),
+        }
+    )
+    budgets = {"a": 150, "b": 40}  # c unlisted -> keeps nothing
+    out = mixture_token_sample(
+        ray.data.from_arrow(tbl), budgets=budgets
+    ).take_all()
+
+    # literal reference: bucket cumsum per source
+    docs = [
+        (
+            i,
+            ["a", "b", "c"][i % 3],
+            hashlib.md5(str(i).encode()).hexdigest()[:2],
+            i % 7 + 1,
+        )
+        for i in range(n)
+    ]
+    expect: set[int] = set()
+    for src in ("a", "b", "c"):
+        per_bucket: dict[str, int] = {}
+        for i, s, bk, t in docs:
+            if s == src:
+                per_bucket[bk] = per_bucket.get(bk, 0) + t
+        cum, cutoff = 0, None
+        for bk in sorted(per_bucket):
+            cum += per_bucket[bk]
+            if cum > budgets.get(src, 0):
+                break
+            cutoff = bk
+        if cutoff is not None:
+            expect |= {
+                i for i, s, bk, t in docs if s == src and bk <= cutoff
+            }
+    assert {r["doc_id"] for r in out} == expect
+    assert all(r["source"] != "c" for r in out)
+    kept_a = sum(r["n_tokens"] for r in out if r["source"] == "a")
+    assert kept_a <= 150 and kept_a > 0
+
+
+def test_mixture_token_sample_strata_cap(ray_session):
+    import pytest
+    import ray
+
+    from fuzi_rd.functions.sampling import mixture_token_sample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "source": pa.array([f"s{i}" for i in range(40)], pa.string()),
+            "text": pa.array(["one two"] * 40, pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="max_strata"):
+        mixture_token_sample(
+            ray.data.from_arrow(tbl), budgets=10, max_strata=5
+        )
+
+
 def test_split_assign_bad_thresholds():
     import pytest
 
