@@ -544,6 +544,19 @@ def _q_mixture_sample(sf_dir: str):
     )
 
 
+def _q_train_shards(sf_dir: str):
+    """Deterministic shuffle-to-shards assignment (the final global
+    shuffle + shard step before training): shard and shuffle rank are
+    pure md5 functions of (seed, doc_id) in DuckDB's md5_number_upper/
+    lower semantics, so no all-to-all random_shuffle is needed and the
+    oracle checks the permutation bit for bit.  One map_batches, no
+    exchange; the partitioned writer twin is pinned by pytest."""
+    from fuzi_rd.functions.packing import shard_assign
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return shard_assign(ds, n_shards=16, seed=1)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Within-document n-gram repetition fraction (Gopher-style quality
     signal), exact milli units."""
@@ -2333,6 +2346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         "mixture_sample": _q_mixture_sample,
+        "train_shards": _q_train_shards,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
@@ -3494,6 +3508,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "train_shards": r"""
+            SELECT doc_id,
+                   CAST(md5_number_upper('1:' || CAST(doc_id AS VARCHAR))
+                        % 16 AS BIGINT) AS shard,
+                   CAST(md5_number_lower('1:' || CAST(doc_id AS VARCHAR))
+                        AS UBIGINT) AS sort_key
+            FROM documents
         """,
         "mixture_sample": r"""
             WITH t AS (

@@ -185,6 +185,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "c4_filter",
         "semantic_dedup",
         "mixture_sample",
+        "train_shards",
     ]
     times = {}
     for name in picked:

@@ -100,3 +100,73 @@ def pack_layout(
         batch_format="pyarrow",
     )
     return counts.groupby("bin").map_groups(_layout, batch_format="pyarrow")
+
+
+def shard_assign(
+    ds,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """Deterministic shuffle-to-shards assignment for training output:
+    append ``shard`` (md5-uniform in [0, n_shards)) and ``sort_key`` (the
+    other 8 md5 bytes — a full-strength per-row shuffle rank).
+
+    ``shard = md5_number_upper(seed:id) % n_shards`` and ``sort_key =
+    md5_number_lower(seed:id)`` in DuckDB's exact semantics (first /
+    last 8 digest bytes little-endian), so the assignment is
+    SQL-oracle-checkable bit for bit.  A pure function of (seed, id):
+    re-running, re-sharding or resuming can never move a document between
+    shards, and changing ``seed`` gives an independent permutation per
+    epoch.  Embarrassingly parallel — one ``map_batches``, no shuffle
+    exchange at all."""
+    import hashlib
+    import struct
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        shards = []
+        keys = []
+        for i in batch.column(id_col).to_pylist():
+            d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+            shards.append(struct.unpack("<Q", d[:8])[0] % n_shards)
+            keys.append(struct.unpack("<Q", d[8:])[0])
+        return batch.append_column(
+            "shard", pa.array(shards, pa.int64())
+        ).append_column("sort_key", pa.array(keys, pa.uint64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def write_training_shards(
+    ds,
+    out_dir: str,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+):
+    """Write the corpus as ``n_shards`` hive-partitioned shard directories
+    (``shard=K/``) in deterministically shuffled order — the final "global
+    shuffle + shard" step before training.
+
+    Shard membership is the exact :func:`shard_assign` rule (no
+    all-to-all ``random_shuffle`` over the corpus — the md5 assignment IS
+    the permutation); within each output file rows are sorted by the
+    ``sort_key`` shuffle rank, so a sequential reader of a shard's files
+    sees hash-randomized document order and a standard reader-side
+    shuffle buffer completes the pass.  Partitioned layout keeps the
+    output resumable/skippable per shard like every other writer here.
+
+    Returns the assigned dataset (with ``shard``/``sort_key``) for
+    callers that want to continue the pipeline."""
+    assigned = shard_assign(ds, n_shards=n_shards, seed=seed, id_col=id_col)
+
+    def _local_order(batch: pa.Table) -> pa.Table:
+        return batch.sort_by("sort_key")
+
+    assigned.map_batches(_local_order, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+    return assigned

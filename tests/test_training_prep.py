@@ -119,6 +119,66 @@ def test_pack_layout_deterministic_across_runs(ray_session):
 _GRAM = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
 
 
+def test_shard_assign_matches_md5_reference(ray_session):
+    """Shard and sort_key are exact md5_number_upper/lower mirrors — a
+    pure function of (seed, id), independent of batching."""
+    import hashlib
+    import struct
+
+    import ray
+
+    from fuzi_rd.functions.packing import shard_assign
+
+    rows = _docs([(i, "x") for i in range(200)])
+    out = shard_assign(
+        ray.data.from_arrow(rows), n_shards=8, seed=3
+    ).take_all()
+    assert len(out) == 200
+    for r in out:
+        d = hashlib.md5(f"3:{r['doc_id']}".encode()).digest()
+        assert r["shard"] == struct.unpack("<Q", d[:8])[0] % 8
+        assert r["sort_key"] == struct.unpack("<Q", d[8:])[0]
+    # different seed -> different permutation
+    out2 = shard_assign(
+        ray.data.from_arrow(rows), n_shards=8, seed=4
+    ).take_all()
+    m1 = {r["doc_id"]: r["shard"] for r in out}
+    m2 = {r["doc_id"]: r["shard"] for r in out2}
+    assert m1 != m2
+
+
+def test_write_training_shards_layout(ray_session, tmp_path):
+    """Partitioned shard dirs, lossless read-back, and file-local rows in
+    shuffle-rank order."""
+    import pathlib
+
+    import ray
+
+    from fuzi_rd.functions.packing import write_training_shards
+
+    rows = _docs([(i, f"doc {i}") for i in range(300)])
+    out_dir = str(tmp_path / "shards")
+    write_training_shards(
+        ray.data.from_arrow(rows), out_dir, n_shards=4, seed=0
+    )
+    shard_dirs = sorted(
+        p.name for p in pathlib.Path(out_dir).iterdir() if p.is_dir()
+    )
+    assert all(d.startswith("shard=") for d in shard_dirs)
+    assert len(shard_dirs) == 4  # 300 md5-uniform docs hit all 4 shards
+
+    back = ray.data.read_parquet(out_dir).take_all()
+    assert {r["doc_id"] for r in back} == set(range(300))
+    # every parquet file is internally sorted by the shuffle rank
+    import pyarrow.parquet as pq
+
+    for f in pathlib.Path(out_dir).rglob("*.parquet"):
+        keys = pq.read_table(f, columns=["sort_key"]).column(
+            "sort_key"
+        ).to_pylist()
+        assert keys == sorted(keys)
+
+
 def test_decontam_drops_overlapping_docs(ray_session):
     import ray
 
