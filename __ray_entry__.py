@@ -1909,6 +1909,18 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_logprob(ds, top_k=None, max_token_chars=None)
 
 
+def _q_bigram_lm(sf_dir: str):
+    """Add-one-smoothed corpus bigram surprisal per document — the fluency
+    signal one order above unigram_lm (word-order-degenerate text scores
+    high here while passing unigram).  Two broadcast fits (unigram +
+    bigram combiners, small key groupbys) then one actor-pool scoring
+    pass; integer milli-nats keep the DuckDB oracle exact."""
+    from fuzi_rd.functions.lm_score import bigram_logprob
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_logprob(ds, top_k=None, max_token_chars=None)
+
+
 def _q_quality_pipeline(sf_dir: str):
     """Multi-stage quality composition, oracle-checked END TO END:
     boilerplate line scrub (corpus-frequency, broadcast set) -> full
@@ -2347,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "mixture_sample": _q_mixture_sample,
         "train_shards": _q_train_shards,
+        "bigram_lm": _q_bigram_lm,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
@@ -2801,6 +2814,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(milli) AS BIGINT) AS surprisal_milli,
                    CAST(sum(milli) // count(*) AS BIGINT)
                        AS mean_surprisal_milli
+            FROM scored
+            GROUP BY doc_id
+        """,
+        "bigram_lm": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            uni AS (
+              SELECT tok, count(*) AS cu
+              FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok
+            ),
+            vsize AS (SELECT count(*) AS v FROM uni),
+            pairs AS (
+              SELECT doc_id,
+                     w[CAST(i AS BIGINT)] AS prev,
+                     w[CAST(i AS BIGINT) + 1] AS cur
+              FROM w, unnest(range(1, len(w))) AS t(i)
+            ),
+            bi AS (
+              SELECT prev, cur, count(*) AS cb
+              FROM pairs GROUP BY prev, cur
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     CAST(floor(-1000 * ln((b.cb + 1) / (u.cu + v.v)))
+                          AS BIGINT) AS milli
+              FROM pairs p
+              JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+              JOIN uni u ON u.tok = p.prev
+              CROSS JOIN vsize v
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(milli) AS BIGINT) AS bigram_surprisal_milli,
+                   CAST(sum(milli) // count(*) AS BIGINT)
+                       AS mean_bigram_surprisal_milli
             FROM scored
             GROUP BY doc_id
         """,

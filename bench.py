@@ -186,6 +186,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "semantic_dedup",
         "mixture_sample",
         "train_shards",
+        "bigram_lm",
     ]
     times = {}
     for name in picked:

@@ -35,7 +35,13 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["fit_unigram_vocab", "unigram_logprob", "ppl_buckets"]
+__all__ = [
+    "fit_unigram_vocab",
+    "unigram_logprob",
+    "ppl_buckets",
+    "fit_bigram_counts",
+    "bigram_logprob",
+]
 
 _TOKEN_RE = re.compile(r"\s+")
 
@@ -289,6 +295,188 @@ def ppl_buckets(
         )
 
     return scores.map_batches(_assign, batch_format="pyarrow")
+
+
+# -- add-one bigram LM (one order up from the unigram signal) ---------------
+
+
+def _bigram_count_batch(
+    batch: pa.Table, text_col: str, max_chars: int | None
+) -> pa.Table:
+    """Per-batch combiner: one (prev\\x00cur, c) partial per distinct
+    adjacent token pair in the batch — pairs, not documents, ride the
+    fit exchange."""
+    counts: dict[str, int] = {}
+    for text in batch.column(text_col).to_pylist():
+        toks = _tokens(text or "", max_chars)
+        for a, b in zip(toks, toks[1:]):
+            k = a + "\x00" + b
+            counts[k] = counts.get(k, 0) + 1
+    return pa.table(
+        {
+            "bg": pa.array(list(counts.keys()), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def fit_bigram_counts(
+    ds,
+    text_col: str = "text",
+    top_k: int | None = DEFAULT_TOP_K,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
+):
+    """Fit corpus bigram counts; returns ``dict['prev\\x00cur', int]``.
+
+    Same broadcast contract as :func:`fit_unigram_vocab`: ``top_k`` (ON
+    by default) bounds the driver/object-store dict at crawl scale —
+    bigrams outside the cap score as unseen (count 0, which add-one
+    smoothing handles by construction, so capping degrades smoothly).
+    The oracle query passes ``None`` (exact)."""
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        lambda b: _bigram_count_batch(b, text_col, max_token_chars),
+        batch_format="pyarrow",
+    )
+    agg = counts.groupby("bg").aggregate(Sum("c", alias_name="c"))
+    if top_k is not None:
+        agg = agg.sort(["c", "bg"], descending=[True, False]).limit(top_k)
+    return {r["bg"]: int(r["c"]) for r in agg.iter_rows()}
+
+
+class _ScoreBigrams:
+    """Actor-pool scorer: unigram + bigram count dicts read zero-copy from
+    the object store once per actor; integer milli-nat add-one arithmetic
+    per adjacent pair.  A bounded per-pair memo collapses the math.log
+    calls to one per distinct pair per actor (Zipf)."""
+
+    def __init__(
+        self,
+        vocab_ref,
+        bigrams_ref,
+        v_size: int,
+        id_col: str,
+        text_col: str,
+        max_token_chars: int | None,
+    ):
+        import ray
+
+        self.vocab: dict[str, int] = ray.get(vocab_ref)
+        self.bigrams: dict[str, int] = ray.get(bigrams_ref)
+        self.v = v_size
+        self.id_col = id_col
+        self.text_col = text_col
+        self.max_token_chars = max_token_chars
+        self._memo: dict[str, int] = {}
+
+    def _milli(self, pair: str, prev: str) -> int:
+        m = self._memo.get(pair)
+        if m is None:
+            if len(self._memo) > 2_000_000:
+                self._memo.clear()
+            cb = self.bigrams.get(pair, 0)
+            cu = self.vocab.get(prev, 0)
+            # DuckDB mirror: BIGINT/BIGINT divides as DOUBLE/DOUBLE
+            m = math.floor(
+                -1000.0 * math.log(float(cb + 1) / float(cu + self.v))
+            )
+            self._memo[pair] = m
+        return m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_ids, n_bi, sums, means = [], [], [], []
+        for i, text in zip(ids, texts):
+            toks = _tokens(text or "", self.max_token_chars)
+            if len(toks) < 2:
+                continue  # no transitions to score
+            s = 0
+            for a, b in zip(toks, toks[1:]):
+                s += self._milli(a + "\x00" + b, a)
+            n = len(toks) - 1
+            out_ids.append(i)
+            n_bi.append(n)
+            sums.append(s)
+            means.append(s // n)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids, pa.int64()),
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "bigram_surprisal_milli": pa.array(sums, pa.int64()),
+                "mean_bigram_surprisal_milli": pa.array(means, pa.int64()),
+            }
+        )
+
+
+def bigram_logprob(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = DEFAULT_TOP_K,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+):
+    """Score every document under an add-one-smoothed corpus bigram model
+    (the fluency signal one order above :func:`unigram_logprob` — word-
+    order-degenerate text like keyword stuffing scores high here while
+    passing unigram): per adjacent pair,
+
+        milli = floor(-1000 * ln((c_bi + 1) / (c_uni(prev) + V)))
+
+    summed over a document's transitions (docs with < 2 tokens are
+    excluded — they have no transition to score).  All-integer inputs to
+    one ``ln`` per distinct pair keep the DuckDB oracle bit-exact.
+
+    Scale shape — the two-stage broadcast pattern twice over: unigram and
+    bigram counts each fit via per-batch combiners + a small key groupby
+    (``top_k`` bounds both broadcast dicts at crawl scale; unseen pairs
+    are exactly what add-one smoothing prices), then one actor-pool
+    scoring pass; document text never crosses an exchange."""
+    import ray
+
+    vocab, _total = fit_unigram_vocab(
+        ds, text_col=text_col, top_k=top_k, max_token_chars=max_token_chars
+    )
+    # V must be the exact distinct-token count even under a capped
+    # broadcast: count it from the fit aggregate's cardinality before the
+    # cap would have applied (cheap second aggregate only when capped)
+    if top_k is None or len(vocab) < top_k:
+        v_size = len(vocab)
+    else:
+        from ray.data.aggregate import Sum
+
+        uni = ds.map_batches(
+            lambda b: _count_batch(b, text_col, max_token_chars),
+            batch_format="pyarrow",
+        )
+        v_size = int(
+            uni.groupby("tok").aggregate(Sum("c", alias_name="c")).count()
+        )
+    bigrams = fit_bigram_counts(
+        ds, text_col=text_col, top_k=top_k, max_token_chars=max_token_chars
+    )
+    vocab_ref = ray.put(vocab)
+    bigrams_ref = ray.put(bigrams)
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, int(n_cpus * 0.75))
+    return ds.map_batches(
+        _ScoreBigrams,
+        fn_constructor_kwargs={
+            "vocab_ref": vocab_ref,
+            "bigrams_ref": bigrams_ref,
+            "v_size": v_size,
+            "id_col": id_col,
+            "text_col": text_col,
+            "max_token_chars": max_token_chars,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 # -- two-class token log-odds classifier ------------------------------------

@@ -182,3 +182,61 @@ def test_ppl_buckets_empty_corpus(ray_session):
 
     out = ppl_buckets(_docs_ds(ray, ["", "   "])).take_all()
     assert out == []
+
+
+def test_bigram_logprob_matches_hand_computation(ray_session):
+    import ray
+
+    from fuzi_rd.functions.lm_score import bigram_logprob
+
+    texts = ["a b a b", "b a", "c"]
+    # uni: a=3, b=3, c=1 -> V=3; bigrams: ab=2, ba=2 (doc0 'b a' + doc1)
+    out = bigram_logprob(_docs_ds(ray, texts)).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+
+    def milli(cb, cu):
+        return math.floor(-1000 * math.log(float(cb + 1) / float(cu + 3)))
+
+    ab, ba = milli(2, 3), milli(2, 3)
+    assert by_id[0]["n_bigrams"] == 3
+    assert by_id[0]["bigram_surprisal_milli"] == ab + ba + ab
+    assert by_id[0]["mean_bigram_surprisal_milli"] == (2 * ab + ba) // 3
+    assert by_id[1]["bigram_surprisal_milli"] == ba
+    assert 2 not in by_id  # single-token doc: no transition to score
+
+
+def test_bigram_scores_word_order(ray_session):
+    """The signal unigram can't see: a token-permuted doc shares the
+    unigram distribution but has unseen transitions, so it scores
+    strictly higher under the bigram model."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import bigram_logprob, unigram_logprob
+
+    natural = "the cat sat on the mat"
+    corpus = [natural] * 9 + ["mat the on sat cat the"]
+    out = {
+        r["doc_id"]: r["mean_bigram_surprisal_milli"]
+        for r in bigram_logprob(_docs_ds(ray, corpus)).take_all()
+    }
+    assert out[9] > out[0]
+    uni = {
+        r["doc_id"]: r["mean_surprisal_milli"]
+        for r in unigram_logprob(_docs_ds(ray, corpus)).take_all()
+    }
+    assert uni[9] == uni[0]  # unigram is order-blind
+
+
+def test_bigram_top_k_cap_bounds_broadcast(ray_session):
+    """Capped fits stay bounded and score every doc; V stays the exact
+    distinct-token count even when the vocab broadcast is capped."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import bigram_logprob, fit_bigram_counts
+
+    texts = [f"t{i} t{(i + 1) % 40} common common" for i in range(40)]
+    bigrams = fit_bigram_counts(_docs_ds(ray, texts), top_k=5)
+    assert len(bigrams) == 5
+    out = bigram_logprob(_docs_ds(ray, texts), top_k=5).take_all()
+    assert len(out) == 40
+    assert all(r["n_bigrams"] == 3 for r in out)
