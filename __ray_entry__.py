@@ -1972,6 +1972,21 @@ def _q_quality_pipeline(sf_dir: str):
     return scrubbed.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): weight every document by
+    how target-like its hashed unigram+bigram profile is, with the
+    English-language subset as the target distribution.  The hashing
+    trick bounds BOTH fits to one 8192-entry int64 array regardless of
+    corpus size — broadcast once, actor-pool scoring, no unbounded
+    driver state and no top_k needed.  Buckets follow DuckDB
+    md5_number_lower % B exactly, so the oracle is bit-exact."""
+    from fuzi_rd.functions.lm_score import dsir_weights
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    target = ds.filter(expr="lang == 'en'")
+    return dsir_weights(ds, target, max_token_chars=None)
+
+
 def _q_c4_filter(sf_dir: str):
     """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2) as
     one vectorized batch pass, oracle-checked END TO END.  The sf docs are
@@ -2360,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "train_shards": _q_train_shards,
         "bigram_lm": _q_bigram_lm,
+        "dsir_weights": _q_dsir_weights,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
@@ -2816,6 +2832,49 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "dsir_weights": r"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, lang,
+                     CAST(md5_number_lower(tok) % 8192 AS BIGINT) AS f
+              FROM (SELECT doc_id, lang, unnest(w) AS tok FROM w)
+              UNION ALL
+              SELECT doc_id, lang,
+                     CAST(md5_number_lower(
+                       w[CAST(i AS BIGINT)] || chr(1)
+                         || w[CAST(i AS BIGINT) + 1]
+                     ) % 8192 AS BIGINT) AS f
+              FROM w, unnest(range(1, len(w))) AS t(i)
+            ),
+            ct AS (
+              SELECT f, count(*) AS c FROM feats WHERE lang = 'en' GROUP BY f
+            ),
+            cr AS (SELECT f, count(*) AS c FROM feats GROUP BY f),
+            nt AS (SELECT count(*) AS n FROM feats WHERE lang = 'en'),
+            nr AS (SELECT count(*) AS n FROM feats),
+            milli AS (
+              SELECT fe.doc_id,
+                     CAST(floor(1000 * ln(
+                       (coalesce(ct.c, 0) + 1) / (nt.n + 8192)
+                     )) AS BIGINT)
+                   - CAST(floor(1000 * ln(
+                       (cr.c + 1) / (nr.n + 8192)
+                     )) AS BIGINT) AS m
+              FROM feats fe
+              LEFT JOIN ct USING (f)
+              JOIN cr USING (f)
+              CROSS JOIN nt CROSS JOIN nr
+            )
+            SELECT doc_id,
+                   count(*) AS n_features,
+                   CAST(sum(m) AS BIGINT) AS dsir_milli
+            FROM milli GROUP BY doc_id
         """,
         "bigram_lm": r"""
             WITH w AS (

@@ -187,6 +187,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "mixture_sample",
         "train_shards",
         "bigram_lm",
+        "dsir_weights",
     ]
     times = {}
     for name in picked:

@@ -41,6 +41,7 @@ __all__ = [
     "ppl_buckets",
     "fit_bigram_counts",
     "bigram_logprob",
+    "dsir_weights",
 ]
 
 _TOKEN_RE = re.compile(r"\s+")
@@ -469,6 +470,181 @@ def bigram_logprob(
             "vocab_ref": vocab_ref,
             "bigrams_ref": bigrams_ref,
             "v_size": v_size,
+            "id_col": id_col,
+            "text_col": text_col,
+            "max_token_chars": max_token_chars,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# -- DSIR hashed-ngram importance weights -----------------------------------
+
+DEFAULT_DSIR_BUCKETS = 8192
+
+
+def _dsir_feature_buckets(
+    toks: list[str], n_buckets: int
+) -> list[int]:
+    """Unigram + adjacent-bigram features hashed into ``n_buckets`` via
+    DuckDB ``md5_number_lower`` semantics (last 8 md5 digest bytes,
+    little-endian) so the oracle reproduces every bucket id bit for bit.
+    Occurrence counts, not distinct — DSIR weights every feature token."""
+    import hashlib
+    import struct
+
+    out = []
+    for t in toks:
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        out.append(struct.unpack("<Q", d[8:])[0] % n_buckets)
+    for a, b in zip(toks, toks[1:]):
+        d = hashlib.md5((a + "\x01" + b).encode("utf-8")).digest()
+        out.append(struct.unpack("<Q", d[8:])[0] % n_buckets)
+    return out
+
+
+def _dsir_count_batch(
+    batch: pa.Table, text_col: str, n_buckets: int, max_chars: int | None
+) -> pa.Table:
+    counts: dict[int, int] = {}
+    for text in batch.column(text_col).to_pylist():
+        for f in _dsir_feature_buckets(
+            _tokens(text or "", max_chars), n_buckets
+        ):
+            counts[f] = counts.get(f, 0) + 1
+    return pa.table(
+        {
+            "f": pa.array(list(counts.keys()), pa.int64()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def _fit_dsir_counts(ds, text_col, n_buckets, max_chars):
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(
+            lambda b: _dsir_count_batch(b, text_col, n_buckets, max_chars),
+            batch_format="pyarrow",
+        )
+        .groupby("f")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in agg.iter_rows():
+        counts[int(r["f"])] = int(r["c"])
+    return counts
+
+
+class _ScoreDsir:
+    """Actor-pool scorer: the per-bucket milli log-ratio table (one int64
+    numpy array of ``n_buckets`` entries) reads zero-copy per actor."""
+
+    def __init__(
+        self,
+        milli_ref,
+        n_buckets: int,
+        id_col: str,
+        text_col: str,
+        max_token_chars: int | None,
+    ):
+        import ray
+
+        self.milli = ray.get(milli_ref)
+        self.n_buckets = n_buckets
+        self.id_col = id_col
+        self.text_col = text_col
+        self.max_token_chars = max_token_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_ids, n_feat, weights = [], [], []
+        milli = self.milli
+        for i, text in zip(ids, texts):
+            feats = _dsir_feature_buckets(
+                _tokens(text or "", self.max_token_chars), self.n_buckets
+            )
+            if not feats:
+                continue  # nothing to weight
+            out_ids.append(i)
+            n_feat.append(len(feats))
+            weights.append(int(sum(int(milli[f]) for f in feats)))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids, pa.int64()),
+                "n_features": pa.array(n_feat, pa.int64()),
+                "dsir_milli": pa.array(weights, pa.int64()),
+            }
+        )
+
+
+def dsir_weights(
+    raw_ds,
+    target_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_DSIR_BUCKETS,
+    max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw document by how target-like its hashed n-gram profile is,
+
+        dsir_milli = sum over doc features f of
+            floor(1000*ln((ct[f]+1)/(Nt+B))) - floor(1000*ln((cr[f]+1)/(Nr+B)))
+
+    where features are unigrams + adjacent bigrams hashed into ``B =
+    n_buckets`` buckets, ``ct``/``cr`` are target/raw bucket occurrence
+    counts and ``Nt``/``Nr`` their totals (add-one smoothing over the
+    bucket space).  Higher = more target-like; resample/threshold on it
+    to tilt a crawl toward the target distribution.
+
+    The hashing trick IS the scale story: both fits reduce to ONE int64
+    array of ``n_buckets`` entries (64 KiB at the default) regardless of
+    corpus or vocabulary size — no ``top_k`` cap needed, nothing
+    unbounded reaches the driver.  Per-batch bucket combiners feed a
+    <= B-row groupby per corpus; the milli table broadcasts once; one
+    actor-pool pass scores raw docs.  Hash buckets follow DuckDB
+    ``md5_number_lower % B`` exactly, so the whole operator is
+    SQL-oracle-checkable bit for bit (two separate integer floors keep
+    the subtraction exact cross-engine).
+
+    Documents with no features (empty/whitespace text) are excluded.
+    Returns (id, n_features, dsir_milli)."""
+    import numpy as np
+    import ray
+
+    ct = _fit_dsir_counts(target_ds, text_col, n_buckets, max_token_chars)
+    cr = _fit_dsir_counts(raw_ds, text_col, n_buckets, max_token_chars)
+    nt, nr = int(ct.sum()), int(cr.sum())
+    milli = np.array(
+        [
+            math.floor(
+                1000.0 * math.log(float(c_t + 1) / float(nt + n_buckets))
+            )
+            - math.floor(
+                1000.0 * math.log(float(c_r + 1) / float(nr + n_buckets))
+            )
+            for c_t, c_r in zip(ct.tolist(), cr.tolist())
+        ],
+        dtype=np.int64,
+    )
+    milli_ref = ray.put(milli)
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, int(n_cpus * 0.75))
+    return raw_ds.map_batches(
+        _ScoreDsir,
+        fn_constructor_kwargs={
+            "milli_ref": milli_ref,
+            "n_buckets": n_buckets,
             "id_col": id_col,
             "text_col": text_col,
             "max_token_chars": max_token_chars,

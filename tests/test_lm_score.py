@@ -240,3 +240,63 @@ def test_bigram_top_k_cap_bounds_broadcast(ray_session):
     out = bigram_logprob(_docs_ds(ray, texts), top_k=5).take_all()
     assert len(out) == 40
     assert all(r["n_bigrams"] == 3 for r in out)
+
+
+def test_dsir_weights_separate_target_from_raw(ray_session):
+    """Docs drawn from the target vocabulary score strictly higher than
+    off-target docs; empty docs are excluded."""
+    import ray
+
+    from fuzi_rd.functions.lm_score import dsir_weights
+
+    target_texts = ["the quick brown fox jumps"] * 5
+    junk_texts = ["zzz qqq vvv kkk jjj"] * 5
+    texts = target_texts + junk_texts + [""]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    target = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(target_texts, pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(ds, target).take_all()}
+    assert 10 not in out  # empty doc has no features
+    assert out[0]["dsir_milli"] > out[5]["dsir_milli"]
+    assert out[0]["n_features"] == 9  # 5 unigrams + 4 bigrams
+
+
+def test_dsir_buckets_match_duckdb_md5_number_lower(ray_session):
+    """The feature hash follows DuckDB md5_number_lower % B exactly."""
+    import duckdb
+
+    from fuzi_rd.functions.lm_score import _dsir_feature_buckets
+
+    toks = ["alpha", "beta", "gamma"]
+    got = _dsir_feature_buckets(toks, 8192)
+    want = []
+    for t in toks:
+        want.append(
+            duckdb.sql(
+                f"SELECT CAST(md5_number_lower('{t}') % 8192 AS BIGINT)"
+            ).fetchone()[0]
+        )
+    for a, b in zip(toks, toks[1:]):
+        want.append(
+            duckdb.sql(
+                "SELECT CAST(md5_number_lower('"
+                + a
+                + "' || chr(1) || '"
+                + b
+                + "') % 8192 AS BIGINT)"
+            ).fetchone()[0]
+        )
+    assert got == want
