@@ -1972,6 +1972,23 @@ def _q_quality_pipeline(sf_dir: str):
     return scrubbed.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_training_export(sf_dir: str):
+    """End-to-end training-export chain, oracle-checked as ONE query:
+    token-budget mixture sampling (per-source bucket-prefix subset) ->
+    deterministic shuffle-to-shards assignment over the survivors.  The
+    composed path from curated corpus to training output; both stages are
+    row-local after one fixed-width groupby, so the chain adds no
+    exchange beyond mixture_sample's count pass."""
+    from fuzi_rd.functions.packing import shard_assign
+    from fuzi_rd.functions.sampling import mixture_token_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    kept = mixture_token_sample(ds, budgets=700).select_columns(
+        ["doc_id", "source", "n_tokens"]
+    )
+    return shard_assign(kept, n_shards=8, seed=2)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): weight every document by
     how target-like its hashed unigram+bigram profile is, with the
@@ -2376,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shards": _q_train_shards,
         "bigram_lm": _q_bigram_lm,
         "dsir_weights": _q_dsir_weights,
+        "training_export": _q_training_export,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
@@ -2832,6 +2850,38 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "training_export": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT source, bucket, sum(n_tokens) AS btok
+              FROM t GROUP BY source, bucket
+            ),
+            c AS (
+              SELECT source, bucket,
+                     CAST(sum(btok) OVER (
+                       PARTITION BY source ORDER BY bucket
+                     ) AS BIGINT) AS cum
+              FROM b
+            ),
+            cut AS (
+              SELECT source, max(bucket) AS cutoff
+              FROM c WHERE cum <= 700 GROUP BY source
+            )
+            SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(md5_number_upper('2:' || CAST(t.doc_id AS VARCHAR))
+                        % 8 AS BIGINT) AS shard,
+                   CAST(md5_number_lower('2:' || CAST(t.doc_id AS VARCHAR))
+                        AS UBIGINT) AS sort_key
+            FROM t JOIN cut USING (source)
+            WHERE t.bucket <= cut.cutoff
         """,
         "dsir_weights": r"""
             WITH w AS (

@@ -188,6 +188,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "train_shards",
         "bigram_lm",
         "dsir_weights",
+        "training_export",
     ]
     times = {}
     for name in picked:
