@@ -1972,6 +1972,80 @@ def _q_quality_pipeline(sf_dir: str):
     return scrubbed.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_corpus_stats(sf_dir: str):
+    """Corpus data-card rollup: ONE row of the headline numbers a dataset
+    card reports (docs, sources, languages, token mass, mean doc length,
+    empty docs, distinct texts = exact-dup complement).  Scale shape:
+    scalar stats ride a per-batch single-row combiner; each distinct
+    count is a fixed-width key groupby whose row count (not contents) is
+    read — text never crosses an exchange (dup detection uses the same
+    16-byte md5 digests as dedup_exact)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(batch.column("text"), ""))
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        empty = pc.equal(pc.utf8_length(trimmed), 0)
+        n = pc.if_else(empty, pa.scalar(0, pa.int32()), n)
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "total_tokens": pa.array(
+                    [pc.sum(pc.cast(n, pa.int64())).as_py() or 0], pa.int64()
+                ),
+                "n_empty": pa.array(
+                    [pc.sum(pc.cast(empty, pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(scalar_partial, batch_format="pyarrow")
+    n_docs = int(parts.sum("n_docs") or 0)
+    total_tokens = int(parts.sum("total_tokens") or 0)
+    n_empty = int(parts.sum("n_empty") or 0)
+    n_sources = ds.groupby("source").count().count()
+    n_langs = ds.groupby("lang").count().count()
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "d": pa.array(
+                    [
+                        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    n_distinct = (
+        ds.map_batches(digest, batch_format="pyarrow").groupby("d").count().count()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_sources": pa.array([n_sources], pa.int64()),
+                "n_langs": pa.array([n_langs], pa.int64()),
+                "total_tokens": pa.array([total_tokens], pa.int64()),
+                "mean_doc_tokens": pa.array(
+                    [total_tokens // max(n_docs, 1)], pa.int64()
+                ),
+                "n_empty": pa.array([n_empty], pa.int64()),
+                "n_distinct_texts": pa.array([n_distinct], pa.int64()),
+            }
+        )
+    )
+
+
 def _q_training_export(sf_dir: str):
     """End-to-end training-export chain, oracle-checked as ONE query:
     token-budget mixture sampling (per-source bucket-prefix subset) ->
@@ -2394,6 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": _q_bigram_lm,
         "dsir_weights": _q_dsir_weights,
         "training_export": _q_training_export,
+        "corpus_stats": _q_corpus_stats,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
@@ -2850,6 +2925,24 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "corpus_stats": r"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS mean_doc_tokens,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_empty,
+                   CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+                       AS n_distinct_texts
+            FROM documents
         """,
         "training_export": r"""
             WITH t AS (

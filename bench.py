@@ -189,6 +189,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "bigram_lm",
         "dsir_weights",
         "training_export",
+        "corpus_stats",
     ]
     times = {}
     for name in picked:
