@@ -2046,6 +2046,75 @@ def _q_corpus_stats(sf_dir: str):
     )
 
 
+def _q_dup_profile(sf_dir: str):
+    """Per-source duplication profile (the data-card drill-down of
+    corpus_stats: which sources are copy-heavy and how much a dedup pass
+    would save): one fixed-width (source, digest) groupby collapses exact
+    copies, then a tiny per-source rollup — n_docs, distinct texts, dup
+    rows, and duplicated token mass.  Text reduces to 16-byte digests in
+    the combiner; nothing else crosses the exchange."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(batch.column("text"), ""))
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(
+            pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), n
+        )
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "d": pa.array(
+                    [
+                        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    per_text = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby(["source", "d"])
+        .aggregate(Count(), Sum("n_tokens", alias_name="tok"))
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        copies = batch.column("count()")
+        tok = batch.column("tok")
+        extra = pc.subtract(copies, 1)
+        # duplicated token mass = (copies-1) * tokens-per-copy
+        per_copy = pc.divide(tok, copies)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": pc.cast(copies, pa.int64()),
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+                "n_dup_docs": pc.cast(extra, pa.int64()),
+                "dup_tokens": pc.cast(pc.multiply(extra, per_copy), pa.int64()),
+            }
+        )
+
+    return (
+        per_text.map_batches(rollup, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("one", alias_name="n_distinct_texts"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+            Sum("dup_tokens", alias_name="dup_tokens"),
+        )
+    )
+
+
 def _q_training_export(sf_dir: str):
     """End-to-end training-export chain, oracle-checked as ONE query:
     token-budget mixture sampling (per-source bucket-prefix subset) ->
@@ -2469,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "training_export": _q_training_export,
         "corpus_stats": _q_corpus_stats,
+        "dup_profile": _q_dup_profile,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_counts": _q_doc_pii_counts,
@@ -2925,6 +2995,26 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "dup_profile": r"""
+            WITH t AS (
+              SELECT source, md5(coalesce(text, '')) AS d,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            g AS (
+              SELECT source, d, count(*) AS copies, sum(n_tokens) AS tok
+              FROM t GROUP BY source, d
+            )
+            SELECT source,
+                   CAST(sum(copies) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_distinct_texts,
+                   CAST(sum(copies - 1) AS BIGINT) AS n_dup_docs,
+                   CAST(sum((copies - 1) * (tok // copies)) AS BIGINT)
+                       AS dup_tokens
+            FROM g GROUP BY source
         """,
         "corpus_stats": r"""
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

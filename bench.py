@@ -190,6 +190,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "dsir_weights",
         "training_export",
         "corpus_stats",
+        "dup_profile",
     ]
     times = {}
     for name in picked:

@@ -540,7 +540,10 @@ def c4_clean_batch(
 
       line level (a line is kept only if ALL hold, after strip):
         1. ends in terminal punctuation: ``. ! ? "``
-        2. has >= ``min_words_per_line`` whitespace-separated words (5)
+        2. has >= ``min_words_per_line`` words (5) — words are RE2
+           ``\S+`` runs (ASCII whitespace class, the corpus token
+           convention DuckDB shares; unicode exotica like NBSP do NOT
+           split words, unlike Python ``str.split``)
         3. does not contain the word "javascript" (case-insensitive)
       page level (the document is dropped unless ALL hold):
         4. >= ``min_lines`` surviving lines (3; C4 counts *sentences* via

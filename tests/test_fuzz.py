@@ -81,3 +81,61 @@ def test_extract_from_html_markupish_soup(soup):
     again = extract_from_html(data)
     assert first["extracted_text"] == again["extracted_text"]
     assert first["spans"] == again["spans"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\x00"
+                ),
+                max_size=400,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_c4_clean_matches_python_reference(texts):
+    """c4_clean_batch's vectorized list-kernel path equals a literal
+    Python implementation of the published rules on ARBITRARY text —
+    offsets arithmetic, trim set, predicate kernels and page gates all
+    pinned at once."""
+    from fuzi_rd.functions.textstats import c4_clean_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    import re
+
+    # ASCII \S+ run count — the engine's documented word rule (RE2 class,
+    # shared with the DuckDB oracle); Python's unicode-aware str.split()
+    # would diverge on NBSP-style exotic whitespace
+    words = re.compile(r"[^ \t\n\r\f\v]+")
+
+    def ref(t):
+        if t is None:
+            t = ""
+        kept = [ln.strip(" \t\r\f\v") for ln in t.split("\n")]
+        kept = [
+            ln
+            for ln in kept
+            if ln.endswith((".", "!", "?", '"'))
+            and len(words.findall(ln)) >= 5
+            and "javascript" not in ln.lower()
+        ]
+        if len(kept) < 3 or "lorem ipsum" in t.lower() or "{" in t:
+            return None
+        return "\n".join(kept), len(kept)
+
+    expect = [(i, *r) for i, t in enumerate(texts) if (r := ref(t))]
+    out = c4_clean_batch(batch)
+    got = [(r["doc_id"], r["text"], r["n_lines"]) for r in out.to_pylist()]
+    assert got == expect
