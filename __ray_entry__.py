@@ -1972,6 +1972,82 @@ def _q_quality_pipeline(sf_dir: str):
     return scrubbed.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_split_leakage(sf_dir: str):
+    """Train/test leakage QA report: exact-text collisions ACROSS the
+    deterministic doc_split assignment — digests that appear in more than
+    one split, with per-split copy counts (the check a pipeline runs
+    after splitting, before shipping an eval set).  The sf texts are all
+    unique, so a deterministic build step first adds a shadow copy of
+    every doc at doc_id+100000 — the copy draws an independent split
+    byte, so ~19% of digests leak across splits and both report outcomes
+    are exercised.  Scale shape: one fixed-width (digest, 3 indicator
+    ints) groupby; text reduces to 16-byte digests row-locally and the
+    report is bounded by the leaking-digest count."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shadow(batch: pa.Table) -> pa.Table:
+        did = pc.cast(batch.column("doc_id"), pa.int64())
+        text = batch.column("text")
+        return pa.concat_tables(
+            [
+                pa.table({"doc_id": did, "text": text}),
+                pa.table(
+                    {"doc_id": pc.add(did, pa.scalar(100000)), "text": text}
+                ),
+            ]
+        ).combine_chunks()
+
+    ds = base.map_batches(shadow, batch_format="pyarrow")
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        digests, tr, va, te = [], [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            digests.append(hashlib.md5((t or "").encode("utf-8")).hexdigest())
+            b = hashlib.md5(str(i).encode()).digest()[0]
+            tr.append(1 if b < 230 else 0)
+            va.append(1 if 230 <= b < 243 else 0)
+            te.append(1 if b >= 243 else 0)
+        return pa.table(
+            {
+                "d": pa.array(digests, pa.string()),
+                "tr": pa.array(tr, pa.int64()),
+                "va": pa.array(va, pa.int64()),
+                "te": pa.array(te, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(annotate, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(
+            Sum("tr", alias_name="n_train"),
+            Sum("va", alias_name="n_val"),
+            Sum("te", alias_name="n_test"),
+        )
+    )
+
+    def leaking(batch: pa.Table) -> pa.Table:
+        present = pc.add(
+            pc.add(
+                pc.cast(pc.greater(batch.column("n_train"), 0), pa.int64()),
+                pc.cast(pc.greater(batch.column("n_val"), 0), pa.int64()),
+            ),
+            pc.cast(pc.greater(batch.column("n_test"), 0), pa.int64()),
+        )
+        return batch.filter(pc.greater(present, 1))
+
+    return agg.map_batches(leaking, batch_format="pyarrow")
+
+
 def _q_corpus_stats(sf_dir: str):
     """Corpus data-card rollup: ONE row of the headline numbers a dataset
     card reports (docs, sources, languages, token mass, mean doc length,
@@ -2538,6 +2614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "training_export": _q_training_export,
         "corpus_stats": _q_corpus_stats,
+        "split_leakage": _q_split_leakage,
         "dup_profile": _q_dup_profile,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
@@ -2995,6 +3072,34 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "split_leakage": r"""
+            -- split bytes compare as 2-char lowercase hex: 230=0xe6,
+            -- 243=0xf3 (the doc_sample lexicographic-hex trick)
+            WITH built AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+            ),
+            a AS (
+              SELECT md5(coalesce(text, '')) AS d,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+              FROM built
+            ),
+            g AS (
+              SELECT d,
+                     CAST(sum(CASE WHEN h < 'e6' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_train,
+                     CAST(sum(CASE WHEN h >= 'e6' AND h < 'f3' THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_val,
+                     CAST(sum(CASE WHEN h >= 'f3' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_test
+              FROM a GROUP BY d
+            )
+            SELECT d, n_train, n_val, n_test FROM g
+            WHERE (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) > 1
         """,
         "dup_profile": r"""
             WITH t AS (

@@ -191,6 +191,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "training_export",
         "corpus_stats",
         "dup_profile",
+        "split_leakage",
     ]
     times = {}
     for name in picked:
