@@ -1972,6 +1972,38 @@ def _q_quality_pipeline(sf_dir: str):
     return scrubbed.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_source_quantiles(sf_dir: str):
+    """Per-source exact token-count quantiles (the per-domain length
+    profile a curation pass thresholds on): grouped_quantiles — per-group
+    sorting never happens; ONE fixed-width (source, n_tokens) count
+    groupby is the only exchange and the driver holds just that bounded
+    histogram.  quantile_disc rank semantics, so DuckDB matches bit for
+    bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.vocab import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(batch.column("text"), ""))
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(
+            pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), n
+        )
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return grouped_quantiles(
+        ds.map_batches(tokens, batch_format="pyarrow"), "source", "n_tokens"
+    )
+
+
 def _q_split_leakage(sf_dir: str):
     """Train/test leakage QA report: exact-text collisions ACROSS the
     deterministic doc_split assignment — digests that appear in more than
@@ -2615,6 +2647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_export": _q_training_export,
         "corpus_stats": _q_corpus_stats,
         "split_leakage": _q_split_leakage,
+        "source_quantiles": _q_source_quantiles,
         "dup_profile": _q_dup_profile,
         "doc_chunks": _q_doc_chunks,
         "doc_repetition": _q_doc_repetition,
@@ -3072,6 +3105,21 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_surprisal_milli
             FROM scored
             GROUP BY doc_id
+        """,
+        "source_quantiles": r"""
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS v
+              FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(v, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(v, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(v, 0.75) AS BIGINT) AS p75
+            FROM t GROUP BY source
         """,
         "split_leakage": r"""
             -- split bytes compare as 2-char lowercase hex: 230=0xe6,

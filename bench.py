@@ -192,6 +192,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "corpus_stats",
         "dup_profile",
         "split_leakage",
+        "source_quantiles",
     ]
     times = {}
     for name in picked:

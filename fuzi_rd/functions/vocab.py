@@ -316,6 +316,61 @@ def length_quantiles(ds, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), text_col: str = "
     )
 
 
+DEFAULT_MAX_QUANTILE_STRATA = 1_000_000
+
+
+def grouped_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs=(0.25, 0.5, 0.75),
+    max_strata: int = DEFAULT_MAX_QUANTILE_STRATA,
+):
+    """Per-group EXACT quantiles — the grouped twin of
+    :func:`length_quantiles`, same ``quantile_disc`` rank semantics
+    (element at 0-based sorted rank ``ceil(q*n)-1`` within each group).
+
+    Scale shape: per-group sorting never happens — ONE fixed-width
+    ``(key, value) -> count`` groupby is the only exchange, and the
+    driver holds just that histogram (bounded by groups x distinct
+    values, independent of corpus rows; hard-fail past ``max_strata``).
+    Returns one row per key: ``key, n, p<q> ...`` (int64 columns named
+    ``p25``-style from ``qs``)."""
+    agg = ds.groupby([key_col, value_col]).count()
+    per_key: dict = {}
+    n_strata = 0
+    for r in agg.iter_rows():
+        n_strata += 1
+        if n_strata > max_strata:
+            raise ValueError(
+                f"grouped_quantiles: > {max_strata} (key, value) strata; "
+                "bucket the value column or raise max_strata — the "
+                "histogram must stay driver-sized"
+            )
+        per_key.setdefault(r[key_col], []).append(
+            (int(r[value_col]), int(r["count()"]))
+        )
+    keys, ns = [], []
+    q_cols: dict[str, list[int]] = {
+        f"p{int(q * 100)}": [] for q in qs
+    }
+    for key in sorted(per_key):
+        pairs = sorted(per_key[key])
+        vals = np.array([v for v, _ in pairs], dtype=np.int64)
+        cum = np.cumsum([c for _, c in pairs])
+        n = int(cum[-1])
+        keys.append(key)
+        ns.append(n)
+        for q in qs:
+            rank = max(0, math.ceil(q * n) - 1)
+            idx = int(np.searchsorted(cum, rank + 1))
+            q_cols[f"p{int(q * 100)}"].append(int(vals[idx]))
+    cols = {key_col: pa.array(keys), "n": pa.array(ns, pa.int64())}
+    for name, vals_list in q_cols.items():
+        cols[name] = pa.array(vals_list, pa.int64())
+    return pa.table(cols)
+
+
 # -- Count-Min sketch (watchlist counting without a vocabulary exchange) -----
 
 CMS_WIDTH = 1 << 14  # 16384 counters/row

@@ -268,3 +268,58 @@ def test_bloom_cross_corpus_keep_empty_ref(ray_session):
     ref = ray.data.from_arrow(_docs_table([]))
     out = dedup.bloom_cross_corpus_keep(new, ref, n_bits=1 << 10)
     assert sorted(r["text"] for r in out.take_all()) == ["a", "b"]
+
+
+def test_grouped_quantiles_matches_numpy_reference(ray_session):
+    """Per-group quantile_disc semantics (rank ceil(q*n)-1) verified
+    against a literal sorted-list reference, with ties and skewed
+    group sizes."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.functions.vocab import grouped_quantiles
+
+    rng = np.random.RandomState(11)
+    keys, vals = [], []
+    for key, n in (("a", 37), ("b", 4), ("c", 1)):
+        for _ in range(n):
+            keys.append(key)
+            vals.append(int(rng.randint(0, 9)))  # heavy ties
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+    )
+    out = grouped_quantiles(ds, "k", "v", qs=(0.25, 0.5, 0.75))
+    rows = {r["k"]: r for r in out.to_pylist()}
+    for key in ("a", "b", "c"):
+        group = sorted(v for k, v in zip(keys, vals) if k == key)
+        assert rows[key]["n"] == len(group)
+        for q in (0.25, 0.5, 0.75):
+            want = group[max(0, math.ceil(q * len(group)) - 1)]
+            assert rows[key][f"p{int(q * 100)}"] == want, (key, q)
+
+
+def test_grouped_quantiles_strata_cap(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from fuzi_rd.functions.vocab import grouped_quantiles
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["x"] * 30, pa.string()),
+                "v": pa.array(range(30), pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_strata"):
+        grouped_quantiles(ds, "k", "v", max_strata=10)
