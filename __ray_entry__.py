@@ -1297,6 +1297,25 @@ def _q_domain_pagerank(sf_dir: str):
     return pagerank(edges, weight_col="w", n_iter=5)
 
 
+def _q_domain_components(sf_dir: str):
+    """Weakly-connected components of the domain webgraph (mirror-cluster
+    / site-family discovery — the grouping a canonical-host dedup keys
+    on): domains hash to stable int64 ids, pointer-jumping min-label CC
+    over the edge list (O(log L) rounds, the same machinery as the
+    minhash cluster step), labels join back to names.  Rows-only
+    (iterative algorithm, no SQL); component semantics numpy-pinned."""
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.functions.graph import domain_components
+    from fuzi_rd.stages.links import extract_links_dataset, link_graph
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    graph = link_graph(extract_links_dataset(ds, batch_size=16))
+    return domain_components(graph)
+
+
 def _q_feeds_xpath(sf_dir: str):
     """Namespaced XPath queries over an Atom-flavored XML corpus — the XML
     twin of the extraction pipeline (reference parity surface: XPath with
@@ -2713,6 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "anchor_rollup": _q_anchor_rollup,
         "domain_pagerank": _q_domain_pagerank,
+        "domain_components": _q_domain_components,
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
         "corpus_pipeline": _q_corpus_pipeline,

@@ -193,6 +193,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "dup_profile",
         "split_leakage",
         "source_quantiles",
+        "domain_components",
     ]
     times = {}
     for name in picked:

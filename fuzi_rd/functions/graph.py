@@ -36,7 +36,93 @@ from fuzi_rd.functions.dedup import (
     connected_components_min_label as connected_components,
 )
 
-__all__ = ["pagerank", "connected_components"]
+__all__ = ["pagerank", "connected_components", "domain_components"]
+
+
+def domain_components(
+    graph_ds,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    num_partitions: int | None = None,
+    stats: dict | None = None,
+):
+    """Weakly-connected components of a string-keyed domain graph —
+    mirror-cluster / site-family discovery over the webgraph.
+
+    Domains hash to stable int64 ids (md5 lower 63 bits — collision odds
+    are ~n^2/2^64, negligible below ~10^8 domains), the edge list feeds
+    the same pointer-jumping min-label CC the dedup tier uses (O(log L)
+    rounds, driver holds only per-round changed counts), and labels join
+    back to domain names with one hash join.  Returns a Dataset of
+    (domain, component) where component = min domain-id reachable.
+
+    The input graph is compacted (materialized) up front: it is consumed
+    TWICE (CC edges + the id->name mapping), and a lazy upstream — e.g.
+    link extraction parsing every page — would re-execute per consumer
+    (the multi-consumer re-execution gotcha).  The domain edge list is
+    fixed-width rows, bounded by the webgraph, not the corpus.
+    """
+    import hashlib
+    import struct
+
+    graph_ds = _compact(graph_ds)
+
+    def _h64(s: str) -> int:
+        return (
+            struct.unpack(
+                "<Q", hashlib.md5(s.encode("utf-8")).digest()[:8]
+            )[0]
+            & 0x7FFFFFFFFFFFFFFF
+        )
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        src = batch.column(src_col).to_pylist()
+        dst = batch.column(dst_col).to_pylist()
+        return pa.table(
+            {
+                "id_a": pa.array([_h64(s) for s in src], pa.int64()),
+                "id_b": pa.array([_h64(d) for d in dst], pa.int64()),
+            }
+        )
+
+    edges = graph_ds.map_batches(_ids, batch_format="pyarrow")
+    labels = connected_components(edges, num_partitions, stats=stats)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        src = batch.column(src_col).to_pylist()
+        dst = batch.column(dst_col).to_pylist()
+        names = src + dst
+        return pa.table(
+            {
+                "doc_id": pa.array([_h64(n) for n in names], pa.int64()),
+                "domain": pa.array(names, pa.string()),
+            }
+        )
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    mapping = (
+        graph_ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(_first, batch_format="pyarrow")
+    )
+    joined = _compact(mapping).join(
+        _compact(labels),
+        join_type="inner",
+        num_partitions=_semi_join_partitions(num_partitions),
+        on=("doc_id",),
+    )
+
+    def _out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "domain": batch.column("domain"),
+                "component": batch.column("label"),
+            }
+        )
+
+    return joined.map_batches(_out, batch_format="pyarrow")
 
 
 def pagerank(

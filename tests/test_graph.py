@@ -76,3 +76,34 @@ def test_pagerank_hub_ranks_highest(ray_session):
     out = pagerank(_edges_ds(ray, edges), n_iter=5).take_all()
     got = {r["node"]: r["rank"] for r in out}
     assert got["n0"] == max(got.values())
+
+
+def test_domain_components_site_families(ray_session):
+    """Two link families and an isolated self-loop domain resolve into
+    exactly the right component partitions; labels are stable ids."""
+    import ray
+
+    from fuzi_rd.functions.graph import domain_components
+
+    edges = [
+        ("a.com", "b.com"),
+        ("b.com", "c.com"),       # family 1: a-b-c
+        ("x.org", "y.org"),       # family 2: x-y
+        ("solo.net", "solo.net"), # isolated self-loop
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_domain": pa.array([e[0] for e in edges], pa.string()),
+                "dst_domain": pa.array([e[1] for e in edges], pa.string()),
+            }
+        )
+    )
+    stats = {}
+    rows = domain_components(ds, stats=stats).take_all()
+    comp = {r["domain"]: r["component"] for r in rows}
+    assert set(comp) == {"a.com", "b.com", "c.com", "x.org", "y.org", "solo.net"}
+    assert comp["a.com"] == comp["b.com"] == comp["c.com"]
+    assert comp["x.org"] == comp["y.org"]
+    assert comp["a.com"] != comp["x.org"] != comp["solo.net"]
+    assert stats.get("rounds", 0) >= 1
