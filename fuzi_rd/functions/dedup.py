@@ -753,12 +753,22 @@ def _compact(ds):
     ``Dataset.join`` fails its partitioner with ``ArrowInvalid: No match ...
     for key field reference`` on the empty-schema table.
 
-    Only for SMALL datasets (candidate pairs / labels / shingle sets): the
-    driver re-bundles block *refs*; block data stays in the object store."""
+    Empty blocks are detected from block METADATA
+    (``iter_internal_ref_bundles()`` → ``BlockMetadata.num_rows``), so the
+    driver re-bundles block *refs* without fetching a single block — no
+    block data ever moves to the driver node, which makes this safe inside
+    the iterative tier (every connected-components round, every PageRank
+    iteration) where labels/edges are O(corpus keys).  A block whose
+    metadata lacks a row count (shouldn't happen post-materialize) is kept
+    conservatively rather than fetched."""
     import ray
 
     mds = ds.materialize()
-    refs = [r for r in mds.to_arrow_refs() if ray.get(r).num_rows > 0]
+    refs = []
+    for bundle in mds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
     if not refs:
         return mds
     return ray.data.from_arrow_refs(refs)

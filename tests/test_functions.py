@@ -1471,3 +1471,40 @@ def test_repetition_profile_hand_computed():
     assert all(v == 0 for v in (
         r["dup_line_milli"][3], r["top2_char_milli"][3],
         r["dup5_char_milli"][3], r["dup10_char_milli"][3]))
+
+
+def test_compact_drops_empty_blocks_without_driver_fetch(ray_session):
+    """_compact must (a) drop the schema-less zero-row blocks that
+    Join/Aggregate emit for empty hash partitions and (b) decide emptiness
+    from block METADATA, never by ray.get-ing block data to the driver —
+    it runs inside every connected-components round and PageRank iteration
+    where labels/edges are O(corpus keys) (VERDICT r4 item 1)."""
+    import inspect
+
+    import ray
+
+    # (b) source-level pin: no driver-side block fetch in the helper
+    src = inspect.getsource(dedup._compact)
+    assert "ray.get" not in src
+
+    # (a) a groupby over few distinct keys leaves most hash partitions
+    # empty; post-compact every block is non-empty and rows are identical
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    agg = ray.data.from_arrow(t).groupby("k").sum("v")
+    compacted = dedup._compact(agg)
+    for bundle in compacted.materialize().iter_internal_ref_bundles():
+        for _ref, meta in bundle.blocks:
+            assert meta.num_rows is None or meta.num_rows > 0
+    rows = sorted(
+        (r["k"], r["sum(v)"]) for r in compacted.take_all()
+    )
+    assert rows == [(1, 30), (2, 30)]
+    # the compacted dataset still joins cleanly (the original failure mode)
+    other = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["a", "b"], pa.string())})
+    )
+    joined = compacted.join(other, join_type="inner", num_partitions=4,
+                            on=("k",))
+    assert joined.count() == 2
