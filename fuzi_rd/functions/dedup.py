@@ -823,6 +823,16 @@ def connected_components_min_label(
     )
     labels = _compact(_rename(labels, {"min(label)": "label"}))
 
+    # Convergence is detected by the EXACT total of all labels: labels are
+    # monotonically non-increasing (new = min(own, neighbor mins); the jump
+    # assigns label(label) <= label because label(v) <= v is an invariant
+    # from initialization), so the total strictly decreases until the fixed
+    # point and "unchanged total" == "no label changed".  This replaces the
+    # old per-round new-vs-old equality JOIN (a third all-to-all exchange
+    # per round) with a block-local aggregate over the already-materialized
+    # labels — per round: 2 plan executions instead of 3, and the third was
+    # the widest.
+    prev_total = _label_total(labels)
     rounds = 0
     while True:
         rounds += 1
@@ -857,31 +867,39 @@ def connected_components_min_label(
             )
         )
 
-        joined = new_labels.join(
-            _rename(labels, {"label": "old_label"}),
-            join_type="inner",
-            num_partitions=P,
-            on=("doc_id",),
-        )
-
-        def _changed(batch: pa.Table) -> pa.Table:
-            n = pc.sum(
-                pc.cast(
-                    pc.not_equal(batch.column("label"), batch.column("old_label")),
-                    pa.int64(),
-                )
-            ).as_py()
-            return pa.table({"n_changed": pa.array([n or 0], pa.int64())})
-
-        changed = sum(
-            r["n_changed"]
-            for r in joined.map_batches(_changed, batch_format="pyarrow").take_all()
-        )
+        total = _label_total(new_labels)
         labels = new_labels
-        if changed == 0:
+        if total == prev_total:
             if stats is not None:
                 stats["rounds"] = rounds
             return labels
+        prev_total = total
+
+
+def _label_total(labels_ds):
+    """Exact sum of the ``label`` column as a Python big int, computed
+    overflow-free at any scale: each block contributes int64 partial sums
+    of the low/high 32-bit halves (block sums stay < 2^52 for realistic
+    block row counts), recombined on the driver as arbitrary-precision
+    ints.  Runs as a block-local map over an already-materialized dataset —
+    no exchange, no block data fetched (the driver sees two ints per
+    block)."""
+    import pyarrow.compute as pc
+
+    def _sums(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label")
+        lo = pc.sum(pc.bit_wise_and(lab, 0xFFFFFFFF)).as_py() or 0
+        hi = pc.sum(pc.shift_right(lab, 32)).as_py() or 0
+        return pa.table(
+            {"lo": pa.array([lo], pa.int64()), "hi": pa.array([hi], pa.int64())}
+        )
+
+    lo = 0
+    hi = 0
+    for r in labels_ds.map_batches(_sums, batch_format="pyarrow").take_all():
+        lo += r["lo"]
+        hi += r["hi"]
+    return (hi << 32) + lo
 
 
 def _empty_labels():

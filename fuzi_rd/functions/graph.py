@@ -99,13 +99,15 @@ def domain_components(
             }
         )
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    mapping = (
+    # id -> name mapping: all domains sharing a doc_id are the SAME string
+    # (the id is a pure hash of the name; collisions are the documented
+    # negligible case), so a hash-aggregate min() picks the one name — much
+    # cheaper than the sort-based groupby().map_groups(first) shuffle.
+    mapping = _rename(
         graph_ds.map_batches(_pairs, batch_format="pyarrow")
         .groupby("doc_id")
-        .map_groups(_first, batch_format="pyarrow")
+        .min("domain"),
+        {"min(domain)": "domain"},
     )
     joined = _compact(mapping).join(
         _compact(labels),
