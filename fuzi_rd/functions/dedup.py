@@ -1357,7 +1357,6 @@ def semantic_dedup(
         nm = np.linalg.norm(m, axis=1)
         nm[nm == 0] = 1.0
         mn = m / nm[:, None]
-        ii, jj = np.nonzero((mn @ mn.T >= threshold))
         parent = np.arange(n)
 
         def find(x: int) -> int:
@@ -1366,11 +1365,19 @@ def semantic_dedup(
                 x = parent[x]
             return x
 
-        for a, b in zip(ii, jj):
-            if a < b:
-                ra, rb = find(int(a)), find(int(b))
-                if ra != rb:
-                    parent[rb] = ra
+        # All-pairs in ROW BLOCKS: the similarity matrix is never fully
+        # allocated — memory is O(blk * n) (~64 MB of float64 per block)
+        # instead of O(n^2), so clusters under max_cluster_rows can't OOM
+        # a worker before the cap's ValueError would fire.
+        blk = max(1, 8_000_000 // max(n, 1))
+        for s in range(0, n, blk):
+            sims = mn[s : s + blk] @ mn.T
+            ii, jj = np.nonzero(sims >= threshold)
+            for a, b in zip(ii + s, jj):
+                if a < b:
+                    ra, rb = find(int(a)), find(int(b))
+                    if ra != rb:
+                        parent[rb] = ra
         roots = np.array([find(int(i)) for i in range(n)])
         # keeper per duplicate group: lowest centroid similarity, then
         # lowest vec_id — deterministic regardless of shuffle order

@@ -304,18 +304,21 @@ def ppl_buckets(
 def _bigram_count_batch(
     batch: pa.Table, text_col: str, max_chars: int | None
 ) -> pa.Table:
-    """Per-batch combiner: one (prev\\x00cur, c) partial per distinct
+    """Per-batch combiner: one (prev, cur, c) partial per distinct
     adjacent token pair in the batch — pairs, not documents, ride the
-    fit exchange."""
-    counts: dict[str, int] = {}
+    fit exchange.  The pair is a TWO-column key (not a joined string) so
+    a token containing an embedded NUL/separator byte can never collide
+    two distinct pairs — the same grouping the DuckDB oracle uses."""
+    counts: dict[tuple[str, str], int] = {}
     for text in batch.column(text_col).to_pylist():
         toks = _tokens(text or "", max_chars)
-        for a, b in zip(toks, toks[1:]):
-            k = a + "\x00" + b
+        for k in zip(toks, toks[1:]):
             counts[k] = counts.get(k, 0) + 1
+    keys = list(counts.keys())
     return pa.table(
         {
-            "bg": pa.array(list(counts.keys()), pa.string()),
+            "prev": pa.array([k[0] for k in keys], pa.string()),
+            "cur": pa.array([k[1] for k in keys], pa.string()),
             "c": pa.array(list(counts.values()), pa.int64()),
         }
     )
@@ -327,7 +330,7 @@ def fit_bigram_counts(
     top_k: int | None = DEFAULT_TOP_K,
     max_token_chars: int | None = DEFAULT_MAX_TOKEN_CHARS,
 ):
-    """Fit corpus bigram counts; returns ``dict['prev\\x00cur', int]``.
+    """Fit corpus bigram counts; returns ``dict[(prev, cur), int]``.
 
     Same broadcast contract as :func:`fit_unigram_vocab`: ``top_k`` (ON
     by default) bounds the driver/object-store dict at crawl scale —
@@ -340,10 +343,12 @@ def fit_bigram_counts(
         lambda b: _bigram_count_batch(b, text_col, max_token_chars),
         batch_format="pyarrow",
     )
-    agg = counts.groupby("bg").aggregate(Sum("c", alias_name="c"))
+    agg = counts.groupby(["prev", "cur"]).aggregate(Sum("c", alias_name="c"))
     if top_k is not None:
-        agg = agg.sort(["c", "bg"], descending=[True, False]).limit(top_k)
-    return {r["bg"]: int(r["c"]) for r in agg.iter_rows()}
+        agg = agg.sort(
+            ["c", "prev", "cur"], descending=[True, False, False]
+        ).limit(top_k)
+    return {(r["prev"], r["cur"]): int(r["c"]) for r in agg.iter_rows()}
 
 
 class _ScoreBigrams:
@@ -364,20 +369,20 @@ class _ScoreBigrams:
         import ray
 
         self.vocab: dict[str, int] = ray.get(vocab_ref)
-        self.bigrams: dict[str, int] = ray.get(bigrams_ref)
+        self.bigrams: dict[tuple[str, str], int] = ray.get(bigrams_ref)
         self.v = v_size
         self.id_col = id_col
         self.text_col = text_col
         self.max_token_chars = max_token_chars
-        self._memo: dict[str, int] = {}
+        self._memo: dict[tuple[str, str], int] = {}
 
-    def _milli(self, pair: str, prev: str) -> int:
+    def _milli(self, pair: tuple[str, str]) -> int:
         m = self._memo.get(pair)
         if m is None:
             if len(self._memo) > 2_000_000:
                 self._memo.clear()
             cb = self.bigrams.get(pair, 0)
-            cu = self.vocab.get(prev, 0)
+            cu = self.vocab.get(pair[0], 0)
             # DuckDB mirror: BIGINT/BIGINT divides as DOUBLE/DOUBLE
             m = math.floor(
                 -1000.0 * math.log(float(cb + 1) / float(cu + self.v))
@@ -394,8 +399,8 @@ class _ScoreBigrams:
             if len(toks) < 2:
                 continue  # no transitions to score
             s = 0
-            for a, b in zip(toks, toks[1:]):
-                s += self._milli(a + "\x00" + b, a)
+            for k in zip(toks, toks[1:]):
+                s += self._milli(k)
             n = len(toks) - 1
             out_ids.append(i)
             n_bi.append(n)
@@ -484,6 +489,14 @@ def bigram_logprob(
 
 DEFAULT_DSIR_BUCKETS = 8192
 
+# Per-worker-process feature-hash memo (same Zipf argument as simhash's
+# _TOKEN_HASH_CACHE in dedup.py): web text repeats tokens and bigrams, so
+# the md5 calls collapse to one per *distinct* feature key per process.
+# Values are the raw 64-bit md5_number_lower, so the cache is valid for
+# any n_buckets; bounded (cleared at 1M entries) so a pathological
+# vocabulary can't grow the heap.
+_DSIR_HASH_CACHE: dict[str, int] = {}
+
 
 def _dsir_feature_buckets(
     toks: list[str], n_buckets: int
@@ -495,13 +508,21 @@ def _dsir_feature_buckets(
     import hashlib
     import struct
 
-    out = []
-    for t in toks:
-        d = hashlib.md5(t.encode("utf-8")).digest()
-        out.append(struct.unpack("<Q", d[8:])[0] % n_buckets)
-    for a, b in zip(toks, toks[1:]):
-        d = hashlib.md5((a + "\x01" + b).encode("utf-8")).digest()
-        out.append(struct.unpack("<Q", d[8:])[0] % n_buckets)
+    cache = _DSIR_HASH_CACHE
+    if len(cache) > 1_000_000:
+        cache.clear()
+    md5 = hashlib.md5
+    unpack = struct.unpack
+
+    def h(key: str) -> int:
+        v = cache.get(key)
+        if v is None:
+            v = unpack("<Q", md5(key.encode("utf-8")).digest()[8:])[0]
+            cache[key] = v
+        return v
+
+    out = [h(t) % n_buckets for t in toks]
+    out.extend(h(a + "\x01" + b) % n_buckets for a, b in zip(toks, toks[1:]))
     return out
 
 

@@ -153,11 +153,16 @@ def write_training_shards(
 
     Shard membership is the exact :func:`shard_assign` rule (no
     all-to-all ``random_shuffle`` over the corpus — the md5 assignment IS
-    the permutation); within each output file rows are sorted by the
-    ``sort_key`` shuffle rank, so a sequential reader of a shard's files
-    sees hash-randomized document order and a standard reader-side
-    shuffle buffer completes the pass.  Partitioned layout keeps the
-    output resumable/skippable per shard like every other writer here.
+    the permutation); rows are sorted by the ``sort_key`` shuffle rank
+    BATCH-locally, so every output file is a concatenation of sorted runs
+    (one fully sorted file per block under Ray's default one-file-per-
+    block writer; if a writer setting coalesces blocks, still
+    hash-randomized runs).  Either way a sequential reader of a shard's
+    files sees hash-randomized document order and a standard reader-side
+    shuffle buffer completes the pass — full per-file sortedness is NOT
+    part of the contract (that would cost a global sort).  Partitioned
+    layout keeps the output resumable/skippable per shard like every
+    other writer here.
 
     Returns the assigned dataset (with ``shard``/``sort_key``) for
     callers that want to continue the pipeline."""

@@ -534,7 +534,7 @@ def c4_clean_batch(
     min_lines: int = 3,
     sep: str = "\n",
 ) -> pa.Table:
-    """The published C4 cleaning heuristics (Raffel et al. 2020, "Exploring
+    r"""The published C4 cleaning heuristics (Raffel et al. 2020, "Exploring
     the Limits of Transfer Learning", §2.2 — the filter that produced the
     C4 corpus) as ONE vectorized batch pass:
 

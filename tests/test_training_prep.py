@@ -169,7 +169,9 @@ def test_write_training_shards_layout(ray_session, tmp_path):
 
     back = ray.data.read_parquet(out_dir).take_all()
     assert {r["doc_id"] for r in back} == set(range(300))
-    # every parquet file is internally sorted by the shuffle rank
+    # pins today's one-file-per-block writer layout: each file is one
+    # batch-locally sorted run (the contract only promises sorted RUNS —
+    # see write_training_shards docstring)
     import pyarrow.parquet as pq
 
     for f in pathlib.Path(out_dir).rglob("*.parquet"):
