@@ -1316,6 +1316,28 @@ def _q_domain_components(sf_dir: str):
     return domain_components(graph)
 
 
+def _q_corpus_webgraph(sf_dir: str):
+    """The fused corpus+webgraph job: ONE extraction parse per page emits
+    the training text AND the resolved outlinks (``emit_links``, same
+    fusion as markdown/metadata); the domain webgraph and its connected
+    components are derived from the fused links column with ZERO further
+    HTML parses (plan-shape + edge byte-identity pinned in
+    tests/test_links.py).  This is how a 100 TB job gets its webgraph —
+    as a by-product of the parse the corpus job already pays for, not a
+    second pass over the crawl.  Rows-only (iterative CC, no SQL)."""
+    import ray
+
+    from fuzi_rd.functions.graph import domain_components
+    from fuzi_rd.pipelines.extraction import extract_dataset
+    from fuzi_rd.stages.links import link_graph, links_from_extracted
+
+    pages = _pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    extracted = extract_dataset(ds, batch_size=64, emit_links=True)
+    graph = link_graph(links_from_extracted(extracted))
+    return domain_components(graph)
+
+
 def _q_feeds_xpath(sf_dir: str):
     """Namespaced XPath queries over an Atom-flavored XML corpus — the XML
     twin of the extraction pipeline (reference parity surface: XPath with
@@ -2733,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_rollup": _q_anchor_rollup,
         "domain_pagerank": _q_domain_pagerank,
         "domain_components": _q_domain_components,
+        "corpus_webgraph": _q_corpus_webgraph,
         "pages_css_query": _q_pages_css_query,
         "feeds_xpath": _q_feeds_xpath,
         "corpus_pipeline": _q_corpus_pipeline,

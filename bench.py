@@ -194,6 +194,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "split_leakage",
         "source_quantiles",
         "domain_components",
+        "corpus_webgraph",
     ]
     times = {}
     for name in picked:

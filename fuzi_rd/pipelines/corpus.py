@@ -60,6 +60,7 @@ def corpus_dataset(
     skip_parts: set[int] | None = None,
     emit_markdown: bool = False,
     emit_metadata: bool = False,
+    emit_links: bool = False,
 ):
     """Wire the full corpus pipeline onto a page Dataset (lazy).
 
@@ -71,6 +72,11 @@ def corpus_dataset(
     second pass over the html) and byte-identical to the standalone
     ``ConvertMarkdown`` / ``ExtractMetadata`` stages — one job emits
     training-ready text + curation metadata in a single pass.
+    ``emit_links`` adds the resolved-outlink column the same way (edge
+    rows byte-identical to the standalone ``ExtractLinks``); flatten it
+    with ``links_from_extracted`` to feed ``link_graph`` /
+    ``domain_components`` / ``pagerank`` — the webgraph as a by-product
+    of the one parse this job already pays for.
 
     Checkpoint policy (the dedup stage consumes the corpus twice, so it
     must be written once and re-read): ``checkpoint_dir`` must be on
@@ -88,8 +94,9 @@ def corpus_dataset(
         skip_parts=skip_parts,
         emit_markdown=emit_markdown,
         emit_metadata=emit_metadata,
+        emit_links=emit_links,
     )
-    extra_cols = (["markdown"] if emit_markdown else []) + (
+    extra_cols = (["markdown"] if emit_markdown else []) + (["links"] if emit_links else []) + (
         [
             "meta_title", "meta_description", "canonical_url", "meta_lang",
             "robots_noindex", "robots_nofollow",

@@ -56,6 +56,7 @@ def extract_dataset(
     skip_parts: set[int] | None = None,
     emit_markdown: bool = False,
     emit_metadata: bool = False,
+    emit_links: bool = False,
 ):
     """Wire the extraction stages onto an input Dataset (lazy).
 
@@ -104,6 +105,7 @@ def extract_dataset(
             "num_parts": num_parts,
             "emit_markdown": emit_markdown,
             "emit_metadata": emit_metadata,
+            "emit_links": emit_links,
         },
         batch_format="pyarrow",
         num_cpus=1,

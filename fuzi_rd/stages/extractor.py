@@ -25,6 +25,12 @@ a ``status='error'`` row, it never fails the block):
                          markdown from the same parse (== ConvertMarkdown)
     [meta_* / og_* ...]  opt-in (emit_metadata): head metadata from the
                          same parse (== ExtractMetadata, columns prefixed)
+    [links]              opt-in (emit_links): resolved outlinks from the
+                         same parse as list<struct<dst_url, anchor,
+                         nofollow>> (== ExtractLinks row-for-row once
+                         flattened via links_from_extracted) — the
+                         webgraph as a by-product of the one parse the
+                         corpus job already pays for
 """
 
 from __future__ import annotations
@@ -59,6 +65,8 @@ class ExtractPages:
         emit_spans: bool = True,
         emit_markdown: bool = False,
         emit_metadata: bool = False,
+        emit_links: bool = False,
+        max_links_per_page: int | None = None,
     ):
         # Warm per-actor state: compile every recipe selector ONCE
         # (reference precedent: XMLActor owning compiled parser state,
@@ -79,6 +87,12 @@ class ExtractPages:
         # ExtractMetadata stages (pinned by test).
         self.emit_markdown = emit_markdown
         self.emit_metadata = emit_metadata
+        self.emit_links = emit_links
+        if max_links_per_page is None:
+            from fuzi_rd.stages.links import DEFAULT_MAX_LINKS
+
+            max_links_per_page = DEFAULT_MAX_LINKS
+        self.max_links = max_links_per_page
         # Optional C parse kernel (fuzi_rd/_chtml.c): built/loaded once per
         # actor; the import-time self-check plus the differential suite
         # (tests/test_chtml_equivalence.py) gate its use.  Documents it
@@ -117,6 +131,11 @@ class ExtractPages:
         recipe_cols = {name: [""] * n for name in self.recipe}
         markdowns = [""] * n if self.emit_markdown else None
         metas: list[dict] | None = [None] * n if self.emit_metadata else None
+        # links flattened exactly like spans: flat child columns + offsets
+        link_offsets = [0] * (n + 1) if self.emit_links else None
+        link_dsts: list[str] = []
+        link_anchors: list[str] = []
+        link_nofollow: list[bool] = []
 
         for i in range(n):
             url = urls[i]
@@ -158,6 +177,13 @@ class ExtractPages:
                     from fuzi_rd.stages.metadata import _page_metadata
 
                     metas[i] = _page_metadata(arena, url)
+                if link_offsets is not None:
+                    from fuzi_rd.stages.links import _page_links
+
+                    for d, a, nf in _page_links(arena, url, self.max_links):
+                        link_dsts.append(d)
+                        link_anchors.append(a)
+                        link_nofollow.append(nf)
                 kill_boilerplate_nodes(arena)
                 text, spans = extract_main_content(arena)
                 texts[i] = text
@@ -174,6 +200,8 @@ class ExtractPages:
                 error[i] = f"{type(exc).__name__}: {exc}"[:500]
             parse_us[i] = (perf_counter_ns() - t_row) // 1000
             span_offsets[i + 1] = len(span_paths)
+            if link_offsets is not None:
+                link_offsets[i + 1] = len(link_dsts)
 
         spans_arr = pa.ListArray.from_arrays(
             pa.array(span_offsets, pa.int32()),
@@ -220,4 +248,16 @@ class ExtractPages:
             cols["og_description"] = pa.array(_m("og:description"), pa.string())
             cols["og_image"] = pa.array(_m("og:image"), pa.string())
             cols["og_type"] = pa.array(_m("og:type"), pa.string())
+        if link_offsets is not None:
+            cols["links"] = pa.ListArray.from_arrays(
+                pa.array(link_offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(link_dsts, pa.string()),
+                        pa.array(link_anchors, pa.large_string()),
+                        pa.array(link_nofollow, pa.bool_()),
+                    ],
+                    ["dst_url", "anchor", "nofollow"],
+                ),
+            )
         return pa.table(cols)

@@ -149,6 +149,38 @@ def extract_links_dataset(
     )
 
 
+def links_from_extracted(extracted_ds):
+    """Flatten the fused ``links`` column emitted by
+    ``ExtractPages(emit_links=True)`` into the standalone edge-list schema
+    (src_url, dst_url, anchor, nofollow) — row-identical to
+    :func:`extract_links_dataset` over the same pages (pinned by test),
+    but WITHOUT a second HTML parse: the edges were produced inside the
+    one parse the extraction/corpus job already pays for.
+
+    Pure Arrow kernels (list_parent_indices gather + struct flatten), no
+    Python loop, no exchange; feed the result to :func:`link_graph` /
+    ``domain_components`` / ``pagerank`` exactly like the standalone
+    extractor's output."""
+    import pyarrow.compute as pc
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        col = batch.column("links")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        src = pc.take(batch.column("url"), pc.list_parent_indices(col))
+        flat = col.flatten()
+        return pa.table(
+            {
+                "src_url": pc.cast(src, pa.string()),
+                "dst_url": flat.field("dst_url"),
+                "anchor": flat.field("anchor"),
+                "nofollow": flat.field("nofollow"),
+            }
+        )
+
+    return extracted_ds.map_batches(_flat, batch_format="pyarrow")
+
+
 def link_graph(links_ds, drop_nofollow: bool = True, drop_self: bool = True):
     """Domain-level edge weights from a (src_url, dst_url, nofollow) edge
     list: (src_domain, dst_domain, n_links).  One groupby exchange on the

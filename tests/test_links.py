@@ -149,3 +149,65 @@ def test_anchor_text_rollup(ray_session):
     }
     # normalization folds case/whitespace; min_count=2 drops 'home'
     assert out == {("t.com", "cheap pills"): 3, ("u.org", "docs"): 2}
+
+
+def _op_names(ds) -> list[str]:
+    """Operator names of a lazy Dataset's logical plan (plan-shape pin)."""
+    names, stack = [], [ds._logical_plan.dag]
+    while stack:
+        op = stack.pop()
+        names.append(op.name)
+        stack.extend(op.input_dependencies)
+    return names
+
+
+def test_fused_emit_links_identity(ray_session, tmp_path_factory):
+    """ExtractPages(emit_links=True) emits, from the ONE extraction parse,
+    the exact edge rows the standalone ExtractLinks stage produces —
+    recovered via links_from_extracted with no second HTML parse."""
+    import ray
+
+    from fuzi_rd.pipelines.extraction import extract_dataset
+    from fuzi_rd.sources.pages import write_pages_parquet
+    from fuzi_rd.stages.links import extract_links_dataset, links_from_extracted
+
+    d = str(tmp_path_factory.mktemp("pages_links"))
+    write_pages_parquet(d, 80, rows_per_file=40)
+
+    def _pages():
+        return ray.data.read_parquet(d, columns=["url", "html"])
+
+    fused = links_from_extracted(
+        extract_dataset(_pages(), batch_size=16, emit_links=True)
+    ).take_all()
+    standalone = extract_links_dataset(_pages(), batch_size=16).take_all()
+
+    def key(r):
+        return (r["src_url"], r["dst_url"], r["anchor"], r["nofollow"])
+
+    assert len(standalone) > 0
+    assert sorted(map(key, fused)) == sorted(map(key, standalone))
+
+
+def test_fused_corpus_webgraph_single_parse_plan(ray_session, tmp_path_factory):
+    """Plan-shape pin for the fused corpus+webgraph job: deriving the edge
+    list from the emit_links column adds NO parser stage — the whole lazy
+    plan contains exactly one ExtractPages operator and no ExtractLinks."""
+    import ray
+
+    from fuzi_rd.pipelines.extraction import extract_dataset
+    from fuzi_rd.sources.pages import write_pages_parquet
+    from fuzi_rd.stages.links import link_graph, links_from_extracted
+
+    d = str(tmp_path_factory.mktemp("pages_plan"))
+    write_pages_parquet(d, 40, rows_per_file=40)
+    pages = ray.data.read_parquet(d, columns=["url", "html"])
+    extracted = extract_dataset(pages, batch_size=16, emit_links=True)
+    # drop_self=False: the 40-page fixture links within fixtures.test only
+    graph = link_graph(links_from_extracted(extracted), drop_self=False)
+
+    names = _op_names(graph)
+    assert sum("ExtractPages" in n for n in names) == 1, names
+    assert not any("ExtractLinks" in n for n in names), names
+    # and the fused plan actually produces the webgraph
+    assert graph.take_all()
