@@ -216,17 +216,24 @@ def mixture_token_sample(
             self.cut: dict[str, str] = ray.get(cut_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # vectorized: dictionary-encode source (few distinct values per
+            # batch), map cutoffs through the dictionary once, then ONE
+            # Arrow string comparison per row — no Python zip over rows.
+            # A source with no affordable bucket maps to "" which no
+            # 2-hex-char bucket can satisfy.
+            import pyarrow.compute as pc
+
             cut = self.cut
-            mask = pa.array(
-                [
-                    b <= cut.get(s, "")
-                    for s, b in zip(
-                        batch.column(source_col).to_pylist(),
-                        batch.column("bucket").to_pylist(),
-                    )
-                ],
-                pa.bool_(),
+            src = batch.column(source_col)
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            enc = src.dictionary_encode()
+            cut_by_code = pa.array(
+                [cut.get(v, "") for v in enc.dictionary.to_pylist()],
+                pa.string(),
             )
+            row_cut = cut_by_code.take(enc.indices)
+            mask = pc.less_equal(batch.column("bucket"), row_cut)
             return batch.filter(mask).drop_columns(["bucket"])
 
     return ds.map_batches(annotate, batch_format="pyarrow").map_batches(

@@ -321,8 +321,14 @@ def repetition_profile_batch(batch: pa.Table) -> pa.Table:
 
     Tokens are whitespace-split (empties dropped); n-gram char length is
     the sum of its token lengths (separators excluded on both sides of the
-    oracle).  A per-document combiner — Python dict counting per doc, the
-    same accepted shape as ``repetition_batch`` — no exchange, no state."""
+    oracle).  A per-document combiner, no exchange, no state; the n-gram
+    counting is numpy rank-chaining — tokens dictionary-encode via
+    ``np.unique`` (codes), an n-gram's identity is the composite rank
+    ``pair(rank_{n-1}, next code)`` (exact: the pack multiplier is
+    ``max+1``, never a hash), counts/coverage come from ``np.unique`` and
+    a difference-array cumsum — no Python tuple dicts in the hot loop."""
+    import numpy as np
+
     out: dict[str, list[int]] = {
         "dup_line_milli": [],
         "dup_line_char_milli": [],
@@ -332,57 +338,74 @@ def repetition_profile_batch(batch: pa.Table) -> pa.Table:
         "dup5_char_milli": [],
         "dup10_char_milli": [],
     }
+
+    def _pair(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # exact composite rank of aligned (a, b) pairs: both sides are
+        # compact ranks < doc length, so a * (max(b)+1) + b < m^2 << 2^63
+        ids = a.astype(np.int64) * (int(b.max()) + 1) + b.astype(np.int64)
+        return np.unique(ids, return_inverse=True)[1]
+
     for text in batch.column("text").to_pylist():
         text = text or ""
         lines = text.split("\n")
-        seen: set[str] = set()
-        dup_cnt = dup_chars = tot_line_chars = 0
-        for ln in lines:
-            tot_line_chars += len(ln)
-            if ln in seen:
-                dup_cnt += 1
-                dup_chars += len(ln)
-            else:
-                seen.add(ln)
+        uniq_lines, line_counts = np.unique(
+            np.array(lines, dtype=object), return_counts=True
+        )
+        uniq_lens = np.array([len(u) for u in uniq_lines], np.int64)
+        dup_cnt = int((line_counts - 1).sum())
+        dup_chars = int(((line_counts - 1) * uniq_lens).sum())
+        tot_line_chars = int((line_counts * uniq_lens).sum())
         out["dup_line_milli"].append(1000 * dup_cnt // len(lines))
         out["dup_line_char_milli"].append(
             1000 * dup_chars // tot_line_chars if tot_line_chars else 0
         )
+
         toks = text.split()
-        tok_lens = [len(t) for t in toks]
-        tot = sum(tok_lens)
+        m = len(toks)
+        tok_lens = np.array([len(t) for t in toks], np.int64)
+        tot = int(tok_lens.sum())
+        cs = np.concatenate([[0], np.cumsum(tok_lens)])
+
+        # chain composite ranks: r_n identifies the n-gram starting at i
+        ranks: dict[int, "np.ndarray"] = {}
+        if m >= 2 and tot:
+            codes = np.unique(np.array(toks, dtype=object), return_inverse=True)[1]
+            r = _pair(codes[:-1], codes[1:])
+            ranks[2] = r
+            for n in (3, 4, 5):
+                if m < n:
+                    break
+                r = _pair(r[:-1], codes[n - 1 :])
+                ranks[n] = r
+            if m >= 10:
+                ranks[10] = _pair(ranks[5][:-5], ranks[5][5:])
+
         for n in (2, 3, 4):
             key = f"top{n}_char_milli"
-            if len(toks) < n or tot == 0:
+            if n not in ranks:
                 out[key].append(0)
                 continue
-            counts: dict[tuple, int] = {}
-            for i in range(len(toks) - n + 1):
-                g = tuple(toks[i : i + n])
-                counts[g] = counts.get(g, 0) + 1
-            best_c = max(counts.values())
-            best_len = max(
-                sum(map(len, g)) for g, c in counts.items() if c == best_c
+            _, inv, cnt = np.unique(
+                ranks[n], return_inverse=True, return_counts=True
             )
+            best_c = int(cnt.max())
+            glen = cs[n:] - cs[: m - n + 1]
+            best_len = int(glen[cnt[inv] == best_c].max())
             out[key].append(1000 * best_c * best_len // tot)
         for n in (5, 10):
             key = f"dup{n}_char_milli"
-            if len(toks) < n or tot == 0:
+            if n not in ranks:
                 out[key].append(0)
                 continue
-            counts = {}
-            grams = []
-            for i in range(len(toks) - n + 1):
-                g = tuple(toks[i : i + n])
-                grams.append(g)
-                counts[g] = counts.get(g, 0) + 1
-            covered: set[int] = set()
-            for i, g in enumerate(grams):
-                if counts[g] >= 2:
-                    covered.update(range(i, i + n))
-            out[key].append(
-                1000 * sum(tok_lens[p] for p in covered) // tot
+            _, inv, cnt = np.unique(
+                ranks[n], return_inverse=True, return_counts=True
             )
+            dup_pos = np.flatnonzero(cnt[inv] >= 2)
+            delta = np.zeros(m + 1, np.int64)
+            np.add.at(delta, dup_pos, 1)
+            np.add.at(delta, dup_pos + n, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            out[key].append(1000 * int(tok_lens[covered].sum()) // tot)
     return pa.table(
         {"doc_id": batch.column("doc_id")}
         | {k: pa.array(v, pa.int64()) for k, v in out.items()}
