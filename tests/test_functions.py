@@ -862,6 +862,88 @@ def test_semantic_dedup_keeper_rule(ray_session):
     assert clusters[0] == clusters[1] == clusters[2]
 
 
+def test_semantic_dedup_exact_keep_set_numpy_twin(ray_session):
+    """VERDICT r4 item 6: full brute-force numpy twin over the sf0.001
+    embeddings table (the same input + parameters the driver's
+    ``semantic_dedup`` query uses).  Given the deterministic sample-fit
+    centroids, an INDEPENDENT all-pairs cosine + union-find + keeper-rule
+    computation must reproduce the distributed pipeline's (cluster,
+    cent_sim_milli, keep) for every row — the exact keep set, not just
+    the keeper rule."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from fuzi_rd.functions.dedup import semantic_dedup
+    from fuzi_rd.functions.simsearch import _kmeans
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    n_clusters, threshold = 8, 0.45
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            ds, n_clusters=n_clusters, threshold=threshold
+        ).take_all()
+    }
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    n = len(ids)
+    assert n > 0 and len(got) == n
+
+    # identical deterministic quantizer fit (ds.limit over a 500-row table
+    # is the whole table in file order — same sample the operator takes)
+    cents = _kmeans(mat[:2048], n_clusters)
+    assign = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    nm = np.linalg.norm(mat, axis=1)
+    nm[nm == 0] = 1.0
+    mn = mat / nm[:, None]
+    cn = np.linalg.norm(cents, axis=1)
+    cn[cn == 0] = 1.0
+    cent_sim_milli = np.floor(
+        ((mn * (cents / cn[:, None])[assign]).sum(axis=1)) * 1000
+    ).astype(np.int64)
+
+    expect_keep = np.zeros(n, dtype=bool)
+    for c in range(n_clusters):
+        loc = np.flatnonzero(assign == c)
+        if not len(loc):
+            continue
+        sub = mn[loc]
+        sims = sub @ sub.T
+        parent = list(range(len(loc)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in range(len(loc)):
+            for b in range(a + 1, len(loc)):
+                if sims[a, b] >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[rb] = ra
+        order = np.lexsort((ids[loc], cent_sim_milli[loc]))
+        seen = set()
+        for i in order:
+            r = find(int(i))
+            if r not in seen:
+                seen.add(r)
+                expect_keep[loc[i]] = True
+
+    # non-trivial at threshold 0.45: both keep outcomes occur
+    assert 0 < expect_keep.sum() < n
+    for i in range(n):
+        r = got[int(ids[i])]
+        assert r["cluster"] == int(assign[i]), ids[i]
+        assert r["cent_sim_milli"] == int(cent_sim_milli[i]), ids[i]
+        assert r["keep"] == bool(expect_keep[i]), ids[i]
+
+
 def test_semantic_dedup_cluster_cap(ray_session):
     import pytest
     import ray
