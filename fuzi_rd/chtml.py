@@ -185,11 +185,11 @@ def _valid_utf8(raw: bytes) -> bool:
         return False
 
 
-def parse_html_bytes_fast(data, encoding: str | None = None):
-    """C-kernel parse; returns an Arena, or None when the kernel defers to
-    Python (caller must fall back).  Raises ParseError like the Python
-    parser for empty input / no root element."""
-    global _bufs
+def to_utf8_buf(data, encoding: str | None = None) -> tuple[bytes, str]:
+    """Decode front half shared by the parse paths: returns (utf8_bytes,
+    declared_encoding).  Raises ParseError for empty input like the Python
+    parser.  The returned bytes are ALWAYS valid UTF-8 (ASCII fast path,
+    strict-decode fast path, or re-encode of the decoded text)."""
     from fuzi_rd.html_parser import _decode_html
 
     if isinstance(data, (bytes, bytearray, memoryview)):
@@ -208,20 +208,47 @@ def parse_html_bytes_fast(data, encoding: str | None = None):
             and not raw.startswith((b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff"))
         )
         if fast and raw.isascii():
-            buf = raw
-            declared = "UTF-8"
-        elif fast and _valid_utf8(raw):
-            buf = raw
-            declared = "UTF-8"
-        else:
-            text, declared = _decode_html(raw, encoding)
-            buf = text.encode("utf-8")
-    else:
-        text = data
-        declared = "UTF-8"
-        if not text:
-            raise ParseError("parserFailure: empty input")
-        buf = text.encode("utf-8")
+            return raw, "UTF-8"
+        if fast and _valid_utf8(raw):
+            return raw, "UTF-8"
+        if encoding is None and not raw.startswith(
+            (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")
+        ):
+            # charset present: a declared UTF-8-family encoding over
+            # strictly-valid UTF-8 bytes decodes+re-encodes to itself —
+            # skip the identity round-trip (_decode_html would return the
+            # same bytes).  ascii declarations additionally require pure-
+            # ASCII input (decode("ascii","replace") is only then identity).
+            from fuzi_rd.html_parser import _sniff_charset
+
+            enc = _sniff_charset(raw)
+            if enc is not None:
+                norm = enc.replace("-", "").replace("_", "").lower()
+                if norm == "utf8" and _valid_utf8(raw):
+                    return raw, enc.upper()
+                if norm in ("ascii", "usascii", "646") and raw.isascii():
+                    return raw, enc.upper()
+        text, declared = _decode_html(raw, encoding)
+        return text.encode("utf-8"), declared
+    if not data:
+        raise ParseError("parserFailure: empty input")
+    return data.encode("utf-8"), "UTF-8"
+
+
+def parse_raw(data, encoding: str | None = None):
+    """Run the C parse and return the RAW kernel output:
+
+        (buf, declared, nn, n_pieces, n_attrs, root)
+
+    with the node/piece/attr arrays left in the module ``_bufs`` (valid
+    until the next parse — callers that keep them must copy).  Returns
+    ``None`` when the kernel defers to Python; raises ParseError exactly
+    like the Python parser for empty input / no root element.  This is the
+    shared front half of :func:`parse_html_bytes_fast`, exposed so the
+    batched extraction fast path (fuzi_rd/fastextract.py) can consume the
+    kernel arrays without paying the Python-Arena marshalling."""
+    global _bufs
+    buf, declared = to_utf8_buf(data, encoding)
     n = len(buf)
 
     if _bufs is None:
@@ -240,6 +267,18 @@ def parse_html_bytes_fast(data, encoding: str | None = None):
     nn, n_pieces, n_attrs, root = (int(counts[k]) for k in range(4))
     if root < 0:
         raise ParseError("parserFailure: no root element")
+    return buf, declared, nn, n_pieces, n_attrs, root
+
+
+def parse_html_bytes_fast(data, encoding: str | None = None):
+    """C-kernel parse; returns an Arena, or None when the kernel defers to
+    Python (caller must fall back).  Raises ParseError like the Python
+    parser for empty input / no root element."""
+    rawres = parse_raw(data, encoding)
+    if rawres is None:
+        return None
+    buf, declared, nn, n_pieces, n_attrs, root = rawres
+    b = _bufs
 
     (types, parents, fc, lc, ns, ps, sub_end, name0, name1, nflags) = b.nodes
     tl = types[:nn].tolist()

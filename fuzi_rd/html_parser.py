@@ -288,6 +288,33 @@ def parse_html_bytes(data, encoding: str | None = None,
     return arena
 
 
+def _sniff_charset(raw: bytes) -> str | None:
+    """meta-charset sniff over the first 2048 bytes (shared with the
+    batched fast path in fuzi_rd/chtml.py, which must replicate
+    _decode_html byte-for-byte)."""
+    head = raw[:2048].lower()
+    idx = head.find(b"charset=")
+    if idx == -1:
+        return None
+    end = idx + 8
+    if head[end : end + 1] in (b'"', b"'"):
+        end += 1
+    stop = end
+    while stop < len(head) and head[stop : stop + 1] not in (
+        b'"',
+        b"'",
+        b">",
+        b" ",
+        b"/",
+        b";",
+    ):
+        stop += 1
+    try:
+        return head[end:stop].decode("ascii")
+    except UnicodeDecodeError:
+        return None
+
+
 def _decode_html(raw: bytes, encoding: str | None):
     """BOM / meta-charset sniff with UTF-8 fallback (reference falls back to
     UTF-8 too, Document.swift:34-42)."""
@@ -299,26 +326,7 @@ def _decode_html(raw: bytes, encoding: str | None):
         return raw.decode("utf-16-be", "replace"), "UTF-16"
     enc = encoding
     if enc is None:
-        head = raw[:2048].lower()
-        idx = head.find(b"charset=")
-        if idx != -1:
-            end = idx + 8
-            if head[end : end + 1] in (b'"', b"'"):
-                end += 1
-            stop = end
-            while stop < len(head) and head[stop : stop + 1] not in (
-                b'"',
-                b"'",
-                b">",
-                b" ",
-                b"/",
-                b";",
-            ):
-                stop += 1
-            try:
-                enc = head[end:stop].decode("ascii")
-            except UnicodeDecodeError:
-                enc = None
+        enc = _sniff_charset(raw)
     if enc:
         try:
             return raw.decode(enc, "replace"), enc.upper()

