@@ -113,10 +113,13 @@ class ExtractPages:
         # tests/test_fastextract.py; any doc the kernel declines falls back
         # per-doc, and any fast-path exception falls back for the batch.
         self._fast = None
+        import os as _os
+
         if (
             self._chtml is not None
             and not self.recipe
             and not (emit_markdown or emit_metadata or emit_links)
+            and not _os.environ.get("FUZI_NO_FASTEXTRACT")
         ):
             try:
                 from fuzi_rd.fastextract import BatchExtractor
