@@ -78,46 +78,52 @@ class BatchExtractor:
     across batches (buffers persist per actor)."""
 
     def __init__(self, node_cap: int = 1 << 16, piece_cap: int = 1 << 16):
-        self._alloc(node_cap, piece_cap)
-        # per-parse attr scratch (attributes are never read by extraction;
-        # the kernel still needs somewhere to write them)
-        self._attr_cap = 1 << 14
-        self._attrs = [np.empty(self._attr_cap, dtype=np.int32) for _ in range(6)]
-        self._attr_ptrs = [a.ctypes.data for a in self._attrs]
+        self._alloc(node_cap, piece_cap, 1 << 14)
         self._counts = np.zeros(8, dtype=np.int32)
         self._counts_ptr = self._counts.ctypes.data
         self.reset()
 
-    def _alloc(self, node_cap: int, piece_cap: int):
+    def _alloc(self, node_cap: int, piece_cap: int, attr_cap: int):
         self._node_cap = node_cap
         self._piece_cap = piece_cap
+        self._attr_cap = attr_cap
         self._nodes = [np.empty(node_cap, dtype=np.int32) for _ in range(_N_NODE_ARRS)]
         self._pieces = [np.empty(piece_cap, dtype=np.int32) for _ in range(_N_PIECE_ARRS)]
+        # attrs accumulate like nodes/pieces (read by finish_links; the
+        # kernel writes them either way): an k0 k1 v0 v1 flags
+        self._attrs = [np.empty(attr_cap, dtype=np.int32) for _ in range(6)]
         self._node_ptrs = [a.ctypes.data for a in self._nodes]
         self._piece_ptrs = [a.ctypes.data for a in self._pieces]
+        self._attr_ptrs = [a.ctypes.data for a in self._attrs]
 
-    def _grow(self, need_nodes: int, need_pieces: int):
-        nc, pc = self._node_cap, self._piece_cap
+    def _grow(self, need_nodes: int, need_pieces: int, need_attrs: int):
+        nc, pc, ac = self._node_cap, self._piece_cap, self._attr_cap
         while nc < need_nodes:
             nc *= 2
         while pc < need_pieces:
             pc *= 2
-        old_n, old_p = self._nodes, self._pieces
-        used_n, used_p = self._node_base, self._piece_base
-        self._alloc(nc, pc)
+        while ac < need_attrs:
+            ac *= 2
+        old_n, old_p, old_a = self._nodes, self._pieces, self._attrs
+        used_n, used_p, used_a = self._node_base, self._piece_base, self._attr_base
+        self._alloc(nc, pc, ac)
         for dst, src in zip(self._nodes, old_n):
             dst[:used_n] = src[:used_n]
         for dst, src in zip(self._pieces, old_p):
             dst[:used_p] = src[:used_p]
+        for dst, src in zip(self._attrs, old_a):
+            dst[:used_a] = src[:used_a]
 
     def reset(self):
         # per-batch accumulation state
         self._node_base = 0
         self._piece_base = 0
+        self._attr_base = 0
         self._buf = bytearray()
-        self._docs: list[tuple[int, int, int, int, int, int]] = []
-        # (node_base, nn, piece_base, npc, buf_base, root)
+        self._docs: list[tuple[int, int, int, int, int, int, int, int]] = []
+        # (node_base, nn, piece_base, npc, buf_base, root, attr_base, na)
         self._any_nonascii = False
+        self._fin = None  # finish() stash for finish_links()
 
     def add(self, data, encoding: str | None = None) -> bool:
         """Parse one document into the batch buffers.  Returns False when
@@ -130,40 +136,39 @@ class BatchExtractor:
             if not chtml.available():
                 return False
             lib = chtml._lib
-        nb, pb = self._node_base, self._piece_base
+        nb, pb, ab = self._node_base, self._piece_base, self._attr_base
         for _ in range(10):
             ptrs = (
                 [p + nb * 4 for p in self._node_ptrs]
                 + [self._node_cap - nb]
                 + [p + pb * 4 for p in self._piece_ptrs]
                 + [self._piece_cap - pb]
-                + self._attr_ptrs
-                + [self._attr_cap]
+                + [p + ab * 4 for p in self._attr_ptrs]
+                + [self._attr_cap - ab]
                 + [self._counts_ptr]
             )
             rc = lib.chtml_parse(buf, n, *ptrs)
             if rc == 0:
                 break
             # capacity: grow whichever could have overflowed (the kernel
-            # reports only "didn't fit"); attrs grow too on repeated misses
-            self._grow(nb + max(n, 64) * 2 + 64, pb + max(n, 64) * 2 + 64)
-            if self._attr_cap < n + 64:
-                self._attr_cap = max(self._attr_cap * 2, n + 64)
-                self._attrs = [
-                    np.empty(self._attr_cap, dtype=np.int32) for _ in range(6)
-                ]
-                self._attr_ptrs = [a.ctypes.data for a in self._attrs]
+            # reports only "didn't fit")
+            self._grow(
+                nb + max(n, 64) * 2 + 64,
+                pb + max(n, 64) * 2 + 64,
+                ab + max(n, 64) + 64,
+            )
         else:
             return False
         c = self._counts
         if c[4]:
             return False  # semantic corner: Python parser decides
-        nn, npc, _na, root = int(c[0]), int(c[1]), int(c[2]), int(c[3])
+        nn, npc, na, root = int(c[0]), int(c[1]), int(c[2]), int(c[3])
         if root < 0:
             raise ParseError("parserFailure: no root element")
-        self._docs.append((nb, nn, pb, npc, len(self._buf), root))
+        self._docs.append((nb, nn, pb, npc, len(self._buf), root, ab, na))
         self._node_base = nb + nn
         self._piece_base = pb + npc
+        self._attr_base = ab + na
         self._buf += buf
         if not self._any_nonascii and not buf.isascii():
             self._any_nonascii = True
@@ -325,6 +330,24 @@ class BatchExtractor:
                         names_by_code.append(s)
                         name_code_map[s] = c
                     code[k] = c
+
+        # stash the batch-coordinate views finish_links() needs (valid until
+        # the next reset(); same lifetime as the kernel buffers)
+        self._fin = {
+            "E": E,
+            "code": code,
+            "name_code_map": name_code_map,
+            "sub_end": sub_end,
+            "types": types,
+            "pn": pn,
+            "p0": p0,
+            "p1": p1,
+            "pf": pf,
+            "bufcat": bufcat,
+            "node_bases": node_bases,
+            "nn_arr": nn_arr,
+            "buf_bases": buf_bases,
+        }
 
         # ---- element name masks, from the code column ----
         def _codes_of(names) -> np.ndarray:
@@ -606,6 +629,137 @@ class BatchExtractor:
 
         self._titles_into(out, D, N, E, code, name_code_map, par_abs, roots, doc_of_node, types, sub_end, pn, p0, p1, pf, bufcat)
         return out
+
+    # ------------------------------------------------------------------
+    def finish_links(self, base_urls: list[str], max_links: int):
+        """Outlink extraction over the batch, straight from the kernel
+        arrays — exactly ``fuzi_rd.stages.links._page_links`` per document
+        (first <base href> wins, http(s) schemes only, first-occurrence
+        attr wins, anchor = subtree string-value .strip()[:200], doc-order
+        cap at max_links).  Must be called AFTER finish() (which stashes the
+        batch-coordinate views).  ``base_urls`` is one page url per added
+        doc, in add() order.
+
+        Returns (counts int64[D], dst_urls, anchors, nofollow) with the
+        flat lists doc-major in add() order.
+        """
+        from urllib.parse import urljoin, urlsplit
+
+        docs = self._docs
+        D = len(docs)
+        counts = np.zeros(D, dtype=np.int64)
+        dsts: list[str] = []
+        anchors: list[str] = []
+        nofollow: list[bool] = []
+        fin = self._fin
+        if D == 0 or fin is None:
+            return counts, dsts, anchors, nofollow
+        E, code, ncm = fin["E"], fin["code"], fin["name_code_map"]
+        sub_end, types = fin["sub_end"], fin["types"]
+        pn, p0, p1, pf = fin["pn"], fin["p0"], fin["p1"], fin["pf"]
+        bufcat = fin["bufcat"]
+        node_bases, nn_arr = fin["node_bases"], fin["nn_arr"]
+        buf_bases = fin["buf_bases"]
+        a_code = ncm.get("a", -2)
+        b_code = ncm.get("base", -2)
+        cand = np.nonzero(E & ((code == a_code) | (code == b_code)))[0]
+        if cand.size == 0:
+            return counts, dsts, anchors, nofollow
+
+        # attr arrays in batch coordinates (node-ascending per doc, hence
+        # globally ascending after the node-base shift)
+        A = self._attr_base
+        na_arr = np.array([d[7] for d in docs], dtype=np.int64)
+        attr_doc = np.repeat(np.arange(D, dtype=np.int64), na_arr)
+        an = self._attrs[0][:A].astype(np.int64) + node_bases[attr_doc]
+        ashift = buf_bases[attr_doc]
+        k0 = self._attrs[1][:A].astype(np.int64) + ashift
+        k1 = self._attrs[2][:A].astype(np.int64) + ashift
+        v0 = self._attrs[3][:A].astype(np.int64) + ashift
+        v1 = self._attrs[4][:A].astype(np.int64) + ashift
+        af = self._attrs[5][:A]
+
+        alo = np.searchsorted(an, cand, side="left")
+        ahi = np.searchsorted(an, cand, side="right")
+        plo = np.searchsorted(pn, cand)
+        phi = np.searchsorted(pn, sub_end[cand])
+        cand_doc = np.searchsorted(node_bases, cand, side="right") - 1
+        dsplit = np.searchsorted(cand_doc, np.arange(D + 1, dtype=np.int64))
+
+        alo_l, ahi_l = alo.tolist(), ahi.tolist()
+        plo_l, phi_l = plo.tolist(), phi.tolist()
+
+        def _attr_val(j0: int, j1: int, key: bytes):
+            """First attr in [j0,j1) whose (ASCII-lowered) key == key; value
+            decoded exactly like the Arena marshalling (None when absent)."""
+            for j in range(j0, j1):
+                if bufcat[k0[j] : k1[j]].lower() != key:
+                    continue
+                fl = int(af[j])
+                if not fl & 1:
+                    return ""
+                val = bufcat[v0[j] : v1[j]].decode("utf-8", "replace")
+                return unescape(val) if fl & 2 else val
+            return None
+
+        def _string_value(lo: int, hi: int) -> str:
+            parts = []
+            for k in range(lo, hi):
+                t = int(types[int(pn[k])])
+                if t != 3 and t != 4:
+                    continue
+                fl = int(pf[k])
+                if fl & _PF_LT:
+                    parts.append("<")
+                else:
+                    seg = bufcat[int(p0[k]) : int(p1[k])].decode(
+                        "utf-8", "replace"
+                    )
+                    parts.append(unescape(seg) if fl & _PF_UNESCAPE else seg)
+            return "".join(parts)
+
+        join_memo: dict[tuple[str, str], tuple[str, str] | None] = {}
+        is_a = (code[cand] == a_code).tolist()
+        for d in range(D):
+            lo_c, hi_c = int(dsplit[d]), int(dsplit[d + 1])
+            if lo_c == hi_c:
+                continue
+            base_url = base_urls[d]
+            base = base_url
+            kept = 0
+            for x in range(lo_c, hi_c):
+                j0, j1 = alo_l[x], ahi_l[x]
+                if not is_a[x]:
+                    # <base>: the first one with a truthy href wins
+                    if base is base_url:
+                        href = _attr_val(j0, j1, b"href")
+                        if href:
+                            base = urljoin(base_url, href.strip())
+                    continue
+                href = _attr_val(j0, j1, b"href")
+                if not href:
+                    continue
+                mk = (base, href.strip())
+                hit = join_memo.get(mk, False)
+                if hit is False:
+                    try:
+                        dst = urljoin(mk[0], mk[1])
+                        scheme = urlsplit(dst).scheme.lower()
+                        hit = (dst, scheme)
+                    except ValueError:
+                        hit = None
+                    join_memo[mk] = hit
+                if hit is None or hit[1] not in ("http", "https"):
+                    continue
+                rel = (_attr_val(j0, j1, b"rel") or "").lower()
+                dsts.append(hit[0])
+                anchors.append(_string_value(plo_l[x], phi_l[x]).strip()[:200])
+                nofollow.append("nofollow" in rel.split())
+                kept += 1
+                if kept >= max_links:
+                    break
+            counts[d] = kept
+        return counts, dsts, anchors, nofollow
 
     # ------------------------------------------------------------------
     def _titles_into(

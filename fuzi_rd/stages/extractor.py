@@ -105,8 +105,9 @@ class ExtractPages:
         except Exception:
             self._chtml = None
         # Batched fast path (fuzi_rd/fastextract.py): when the stage emits
-        # only the core extraction columns (no recipes, no fused markdown/
-        # metadata/links — those need the full DOM API), the kill+density+
+        # only the core extraction columns (+ optionally fused links — read
+        # straight from the kernel attr arrays; no recipes, no fused
+        # markdown/metadata, which need the full DOM API), the kill+density+
         # text assembly runs vectorized over the raw C-kernel arrays for the
         # WHOLE batch, skipping the Python-Arena marshalling (~2.9x on the
         # hot loop).  Byte-identity with the Python path is pinned by
@@ -118,7 +119,7 @@ class ExtractPages:
         if (
             self._chtml is not None
             and not self.recipe
-            and not (emit_markdown or emit_metadata or emit_links)
+            and not (emit_markdown or emit_metadata)
             and not _os.environ.get("FUZI_NO_FASTEXTRACT")
         ):
             try:
@@ -340,6 +341,10 @@ class ExtractPages:
 
         t_fin = perf_counter_ns()
         res = bx.finish(emit_spans=self.emit_spans)
+        if self.emit_links:
+            res["links"] = bx.finish_links(
+                [urls[i] for i in fast_rows], self.max_links
+            )
         if fast_rows:
             # finish() is batched; amortize its wall time over the fast rows
             # (parse_us is only ever consumed as a per-partition SUM).
@@ -360,11 +365,18 @@ class ExtractPages:
         # per-doc declines (rare): the Python pipeline, row-local
         slow_spans: dict[int, list] = {}
         slow_bytes: dict[int, bytes] = {}
+        slow_links: dict[int, list] = {}
         for i in slow_rows:
             t_row = perf_counter_ns()
             try:
                 arena = parse_html_bytes(htmls[i] or b"", track_lines=False)
                 titles[i] = _title_of(arena)
+                if self.emit_links:
+                    from fuzi_rd.stages.links import _page_links
+
+                    # pre-kill, kept even if extraction later raises —
+                    # exactly the _call_python control flow
+                    slow_links[i] = _page_links(arena, urls[i], self.max_links)
                 kill_boilerplate_nodes(arena)
                 text, spans = extract_main_content(arena)
                 slow_bytes[i] = text.encode("utf-8")
@@ -452,19 +464,61 @@ class ExtractPages:
                 ["path", "start", "end"],
             ),
         )
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "part": pa.array(parts, pa.int32()),
-                "title": pa.array(titles, pa.large_string()),
-                "extracted_text": text_arr,
-                "spans": spans_arr,
-                "n_nodes": pa.array(n_nodes, pa.int32()),
-                "text_len": pa.array(text_lens, pa.int64()),
-                "html_bytes": pa.array(html_bytes, pa.int64()),
-                "text_hash": pa.array(text_hash, pa.uint64()),
-                "parse_us": pa.array(parse_us, pa.int64()),
-                "status": pa.array(status, pa.string()),
-                "error": pa.array(error, pa.string()),
-            }
-        )
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "part": pa.array(parts, pa.int32()),
+            "title": pa.array(titles, pa.large_string()),
+            "extracted_text": text_arr,
+            "spans": spans_arr,
+            "n_nodes": pa.array(n_nodes, pa.int32()),
+            "text_len": pa.array(text_lens, pa.int64()),
+            "html_bytes": pa.array(html_bytes, pa.int64()),
+            "text_hash": pa.array(text_hash, pa.uint64()),
+            "parse_us": pa.array(parse_us, pa.int64()),
+            "status": pa.array(status, pa.string()),
+            "error": pa.array(error, pa.string()),
+        }
+        if self.emit_links:
+            # fast output is doc-major over fast_rows (ascending), so with
+            # no slow rows the flat lists are already in row order — same
+            # splice pattern as spans otherwise
+            l_counts, l_dsts, l_anchors, l_nf = res["links"]
+            lcnt_row = np.zeros(n, dtype=np.int64)
+            if fast_rows:
+                lcnt_row[np.array(fast_rows, dtype=np.int64)] = l_counts
+            if slow_links:
+                l_off = np.zeros(len(fast_rows) + 1, dtype=np.int64)
+                np.cumsum(l_counts, out=l_off[1:])
+                fpos = {i: j for j, i in enumerate(fast_rows)}
+                dsts, anchors, nf = [], [], []
+                for i in range(n):
+                    j = fpos.get(i)
+                    if j is not None:
+                        lo, hi = int(l_off[j]), int(l_off[j + 1])
+                        dsts.extend(l_dsts[lo:hi])
+                        anchors.extend(l_anchors[lo:hi])
+                        nf.extend(l_nf[lo:hi])
+                    else:
+                        for d, a, x in slow_links.get(i, ()):
+                            dsts.append(d)
+                            anchors.append(a)
+                            nf.append(x)
+                            lcnt_row[i] += 1
+            else:
+                dsts, anchors, nf = l_dsts, l_anchors, l_nf
+            l_offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lcnt_row, out=l_offsets[1:])
+            cols["links"] = pa.ListArray.from_arrays(
+                pa.Array.from_buffers(
+                    pa.int32(), n + 1, [None, pa.py_buffer(l_offsets)]
+                ),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(dsts, pa.string()),
+                        pa.array(anchors, pa.large_string()),
+                        pa.array(nf, pa.bool_()),
+                    ],
+                    ["dst_url", "anchor", "nofollow"],
+                ),
+            )
+        return pa.table(cols)

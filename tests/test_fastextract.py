@@ -62,11 +62,12 @@ def test_fast_path_enabled_for_core_job():
 
 
 def test_fast_path_disabled_when_dom_products_requested():
-    # recipes / fused markdown / metadata / links need the full Arena DOM
+    # recipes / fused markdown / metadata need the full Arena DOM
     assert ExtractPages(recipe={"h1": "//h1"})._fast is None
     assert ExtractPages(emit_markdown=True)._fast is None
     assert ExtractPages(emit_metadata=True)._fast is None
-    assert ExtractPages(emit_links=True)._fast is None
+    # fused links read the kernel attr arrays directly — fast stays on
+    assert ExtractPages(emit_links=True)._fast is not None
 
 
 def test_fixture_corpus_identical():
@@ -203,3 +204,108 @@ def test_batch_extractor_reuse_across_batches():
             if name == "parse_us":
                 continue
             assert out.column(name).equals(ref.column(name)), ("reuse", name)
+
+
+# ---------------------------------------------------------------------------
+# fused emit_links on the fast path: finish_links() must replicate
+# stages/links._page_links byte-for-byte (attr lookup, <base href>, scheme
+# filter, anchor string-value, nofollow rel, doc-order cap)
+# ---------------------------------------------------------------------------
+
+LINK_ADVERSARIAL = [
+    # plain / relative / absolute resolution
+    b'<a href="/x">one</a><a href="http://e.com/p">two</a>',
+    b'<a href="sub/page.html">rel</a><p>t</p>',
+    # base href: first wins; later bases ignored; base w/o or empty href
+    b'<base href="http://b.com/dir/"><a href="f">x</a>',
+    b'<base><base href="http://late.com/"><a href="f">x</a>',
+    b'<base href=""><base href="http://second.com/"><a href="f">x</a>',
+    b'<a href="early">pre-base</a><base href="http://b.com/"><a href="post">y</a>',
+    b'<base href="   "><base href="http://third.com/"><a href="f">x</a>',
+    # attr-key casing + duplicate attrs (first occurrence wins)
+    b'<A HREF="/up">caps</A>',
+    b'<a HREF="/first" href="/second">dup</a>',
+    b'<a rel="NOFOLLOW" href="/n">nf</a>',
+    b'<a rel="a nofollow b" href="/n2">nf2</a>',
+    b'<a rel="nofollowish" href="/n3">not-nf</a>',
+    # missing / empty / whitespace / entity-escaped hrefs
+    b'<a>no href</a><a href="">empty</a><a href="   ">ws</a>',
+    b'<a href="/p?a=1&amp;b=2">ent</a>',
+    # non-crawl schemes dropped (and do not count toward the cap)
+    b'<a href="mailto:x@y.z">m</a><a href="javascript:void(0)">j</a>'
+    b'<a href="ftp://f/">f</a><a href="data:text/plain,x">d</a>'
+    b'<a href="https://keep.me/">k</a>',
+    # anchor text: entities, '<' pieces, nesting, >200-char cap, strip
+    b'<a href="/t">a &lt; b &amp; c</a>',
+    b'<a href="/t"><b>bold</b> and <i>ital</i></a>',
+    b'<a href="/t">  \n  padded  \t </a>',
+    b'<a href="/long">' + b"A" * 500 + b"</a>",
+    # nested anchor (parser closes implicitly; both paths see the same tree)
+    b'<a href="/o">out<a href="/i">in</a></a>',
+    # anchors inside killed-later containers still emit (links are pre-kill)
+    b'<nav><a href="/nav1">n1</a><a href="/nav2">n2</a></nav><p>'
+    + b"t" * 300
+    + b"</p>",
+    # urljoin/urlsplit hostile inputs
+    b'<a href="http://[bad">broken</a><a href="//proto-rel/p">pr</a>',
+    b'<a href="#frag">frag</a><a href="?q=1">query</a>',
+    # uppercase BASE + unicode href bytes
+    b'<BASE HREF="http://up.com/"><a href="caf\xc3\xa9">u</a>',
+]
+
+
+def test_emit_links_fixture_and_pages_identical():
+    from fuzi_rd.sources.pages import pages_table
+
+    blobs = [p.read_bytes() for p in sorted(FIXTURES.glob("*.html"))]
+    _assert_identical(_table(blobs), "links-fixtures", emit_links=True)
+    _assert_identical(pages_table(300, start=0), "links-pages", emit_links=True)
+
+
+def test_emit_links_adversarial_identical():
+    urls = [f"http://site{i}.test/dir/page.html" for i in range(len(LINK_ADVERSARIAL))]
+    _assert_identical(
+        _table(LINK_ADVERSARIAL, urls=urls), "links-adv", emit_links=True
+    )
+    for i, case in enumerate(LINK_ADVERSARIAL):
+        _assert_identical(
+            _table([case], urls=[urls[i]]), f"links-adv[{i}]", emit_links=True
+        )
+
+
+def test_emit_links_cap_identical():
+    many = b"".join(
+        b'<a href="/p%d">t%d</a>' % (i, i) for i in range(50)
+    )
+    _assert_identical(
+        _table([b"<div>" + many + b"</div>"]),
+        "links-cap",
+        emit_links=True,
+        max_links_per_page=7,
+    )
+
+
+def test_emit_links_fuzz_identical():
+    import random
+
+    rng = random.Random(4321)
+    alphabet = b"<>/=\"' abcdefghijklmnop&;!?-\thref=rel=base a\n\xc3\xa9"
+    blobs = [
+        bytes(rng.choice(alphabet) for _ in range(rng.randint(0, 300)))
+        for _ in range(200)
+    ]
+    _assert_identical(_table(blobs), "links-fuzz", emit_links=True)
+
+
+def test_emit_links_mixed_batch_identical():
+    from fuzi_rd.sources.pages import pages_table
+
+    good = pages_table(20, start=50).column("html").to_pylist()
+    mixed = []
+    for i, g in enumerate(good):
+        mixed.append(g)
+        if i % 3 == 0:
+            mixed.append(b"&nbsp;&nbsp;")  # decline -> python per-doc links
+        if i % 4 == 0:
+            mixed.append(b"")  # ParseError -> error row, empty links
+    _assert_identical(_table(mixed), "links-mixed", emit_links=True)
