@@ -656,6 +656,166 @@ def _q_url_normalize(sf_dir: str):
     return ds.map_batches(build_and_norm, batch_format="pyarrow")
 
 
+def _doc_messy_url_batch(batch):
+    """Deterministic per-document MESSY url exercising every rule of the
+    dedup-grade canonicalizer (urltools.canonicalize_urls).  Documents are
+    PAIRED: docs 2k and 2k+1 spell the SAME page two ways — the even
+    member carries the mess (upper-case scheme/host, explicit default
+    port, tracking params, fragment), the odd member the plain spelling —
+    so url_dedup must collapse every pair (keeper = the even doc_id,
+    n_dups = 2), proving exactly the dims canonicalization erases.
+    Reproduced verbatim by the url_canonical / url_dedup oracles (the sf
+    tables carry no urls)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    did = batch.column("doc_id")
+    q = pc.divide(did, 2)  # pair id
+
+    def mod(base, n):
+        return pc.subtract(base, pc.multiply(pc.divide(base, n), n))
+
+    parity = mod(did, 2)
+    even = pc.equal(parity, 0)
+    q3, q4, q5, q7 = mod(q, 3), mod(q, 4), mod(q, 5), mod(q, 7)
+    q10, q11, q13, q23, q50 = (
+        mod(q, 10),
+        mod(q, 11),
+        mod(q, 13),
+        mod(q, 23),
+        mod(q, 50),
+    )
+    is_http = pc.equal(q13, 0)
+    scheme = pc.if_else(
+        is_http,
+        pc.if_else(even, "HTTP", "http"),
+        pc.if_else(even, "HTTPS", "https"),
+    )
+    sub = pc.if_else(
+        pc.equal(q3, 0),
+        "www.",
+        pc.if_else(
+            pc.equal(q3, 1),
+            pc.if_else(even, "News.CDN.", "news.cdn."),
+            "",
+        ),
+    )
+    hostword = pc.if_else(even, "Host", "host")
+    tld = pc.if_else(
+        pc.equal(q5, 0),
+        "com",
+        pc.if_else(
+            pc.equal(q5, 1),
+            "co.uk",
+            pc.if_else(
+                pc.equal(q5, 2),
+                "org",
+                pc.if_else(pc.equal(q5, 3), "com.au", "io"),
+            ),
+        ),
+    )
+    port = pc.if_else(
+        pc.equal(q7, 1),
+        ":8080",
+        pc.if_else(
+            even, pc.if_else(is_http, ":80", ":443"), ""
+        ),
+    )
+    path = pc.if_else(
+        pc.equal(q11, 0),
+        "",
+        pc.binary_join_element_wise(
+            "/s",
+            pc.cast(q10, pa.string()),
+            "/p",
+            pc.cast(q50, pa.string()),
+            "",
+        ),
+    )
+    q10s = pc.cast(q10, pa.string())
+    plain_id = pc.binary_join_element_wise("?id=", q10s, "")
+    query = pc.if_else(
+        pc.equal(q4, 0),
+        pc.if_else(
+            even,
+            pc.binary_join_element_wise("?utm_source=news&id=", q10s, ""),
+            plain_id,
+        ),
+        pc.if_else(
+            pc.equal(q4, 1),
+            pc.if_else(
+                even,
+                pc.binary_join_element_wise(
+                    "?id=", q10s, "&utm_campaign=x", ""
+                ),
+                plain_id,
+            ),
+            pc.if_else(
+                pc.equal(q4, 2),
+                pc.if_else(even, "?gclid=g&fbclid=f", ""),
+                "",
+            ),
+        ),
+    )
+    frag = pc.if_else(
+        even,
+        pc.binary_join_element_wise("#sec", pc.cast(q3, pa.string()), ""),
+        "",
+    )
+    url = pc.binary_join_element_wise(
+        scheme,
+        "://",
+        sub,
+        hostword,
+        pc.cast(q23, pa.string()),
+        ".",
+        tld,
+        port,
+        path,
+        query,
+        frag,
+        "",
+    )
+    return batch.append_column("url", url)
+
+
+def _q_url_canonical(sf_dir: str):
+    """Dedup-grade URL canonicalization (RFC 3986 §6.2.2-6.2.3 shape:
+    fragment strip, prefix case, default-port drop, tracking-param
+    families with order-preserving query rebuild, ensure-path) — the
+    stricter tier URL-LEVEL dedup keys on, vs the join-key normalizer of
+    ``url_normalize``.  Pure per-batch Arrow kernels, no exchange; the
+    oracle replays the same 6-step chain in SQL byte-for-byte."""
+    import pyarrow as pa
+
+    from fuzi_rd.functions.urltools import url_canonical_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def build_and_canon(batch: pa.Table) -> pa.Table:
+        return url_canonical_batch(_doc_messy_url_batch(batch)).select(
+            ["doc_id", "url", "canon_url"]
+        )
+
+    return ds.map_batches(build_and_canon, batch_format="pyarrow")
+
+
+def _q_url_dedup(sf_dir: str):
+    """URL-level dedup report: canonicalize per batch (no exchange), then
+    ONE groupby over the canonical key carrying only (canon_url, doc_id)
+    pairs — the exact-content-dedup plan shape with the URL as the
+    digest.  This is the cheapest dedup tier a crawl corpus runs (key
+    only, no page bytes; RefinedWeb runs it before any content hashing).
+    Keeper = min doc_id per canonical URL, plus the duplicate count."""
+    import pyarrow as pa
+
+    from fuzi_rd.functions.urltools import url_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    with_urls = ds.map_batches(_doc_messy_url_batch, batch_format="pyarrow")
+    return url_dedup(with_urls, col="url", id_col="doc_id")
+
+
 def _q_paragraph_dedup(sf_dir: str):
     """Sub-document exact dedup (C4-style): the sf docs have no paragraph
     breaks, so both engines build the SAME two-paragraph corpus — every
@@ -2697,6 +2857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": _q_doc_normalize,
         "stopword_stats": _q_stopword_stats,
         "url_normalize": _q_url_normalize,
+        "url_canonical": _q_url_canonical,
+        "url_dedup": _q_url_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "source_rollup": _q_source_rollup,
         "doc_sample": _q_doc_sample,
@@ -4043,6 +4205,162 @@ def oracle_sql() -> dict[str, str]:
                                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
                           ELSE s END AS s FROM n2)
             SELECT doc_id, regexp_replace(s, '/+$', '') AS url_norm FROM n3
+        """,
+        "url_canonical": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN (doc_id // 2) % 13 = 0
+                  THEN CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+                  ELSE CASE WHEN doc_id % 2 = 0 THEN 'HTTPS'
+                       ELSE 'https' END END
+                  || '://'
+                  || CASE (doc_id // 2) % 3 WHEN 0 THEN 'www.'
+                       WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                         THEN 'News.CDN.' ELSE 'news.cdn.' END
+                       ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0 THEN 'Host' ELSE 'host' END
+                  || CAST((doc_id // 2) % 23 AS VARCHAR) || '.'
+                  || CASE (doc_id // 2) % 5
+                       WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                       WHEN 2 THEN 'org' WHEN 3 THEN 'com.au' ELSE 'io' END
+                  || CASE WHEN (doc_id // 2) % 7 = 1 THEN ':8080'
+                       WHEN doc_id % 2 = 0 THEN
+                         CASE WHEN (doc_id // 2) % 13 = 0
+                           THEN ':80' ELSE ':443' END
+                       ELSE '' END
+                  || CASE WHEN (doc_id // 2) % 11 = 0 THEN ''
+                       ELSE '/s' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                            || '/p'
+                            || CAST((doc_id // 2) % 50 AS VARCHAR) END
+                  || CASE (doc_id // 2) % 4
+                       WHEN 0 THEN CASE WHEN doc_id % 2 = 0
+                         THEN '?utm_source=news&id='
+                              || CAST((doc_id // 2) % 10 AS VARCHAR)
+                         ELSE '?id='
+                              || CAST((doc_id // 2) % 10 AS VARCHAR) END
+                       WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                         THEN '?id=' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                              || '&utm_campaign=x'
+                         ELSE '?id='
+                              || CAST((doc_id // 2) % 10 AS VARCHAR) END
+                       WHEN 2 THEN CASE WHEN doc_id % 2 = 0
+                         THEN '?gclid=g&fbclid=f' ELSE '' END
+                       ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN '#sec' || CAST((doc_id // 2) % 3 AS VARCHAR)
+                       ELSE '' END AS url
+              FROM documents),
+            s2 AS (SELECT doc_id, url,
+                          split_part(url, '#', 1) AS u0 FROM u),
+            s3 AS (SELECT doc_id, url,
+                     lower(regexp_extract(u0,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS pre0,
+                     regexp_replace(u0,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+                   FROM s2),
+            s4 AS (SELECT doc_id, url,
+                     regexp_replace(
+                       regexp_replace(pre0,
+                         '^(http://[^:/?#]*):80$', '\1'),
+                       '^(https://[^:/?#]*):443$', '\1') AS pre,
+                     CASE WHEN instr(rest, '?') > 0
+                       THEN substr(rest, 1, instr(rest, '?') - 1)
+                       ELSE rest END AS path,
+                     CASE WHEN instr(rest, '?') > 0
+                       THEN substr(rest, instr(rest, '?') + 1)
+                       ELSE '' END AS q
+                   FROM s3),
+            s5 AS (SELECT doc_id, url, pre, path,
+                     array_to_string(list_filter(string_split(q, '&'),
+                       x -> NOT (starts_with(x, 'utm_') OR
+                         list_contains(['gclid','fbclid','msclkid','mc_eid'],
+                                       split_part(x, '=', 1)))), '&') AS kept
+                   FROM s4)
+            SELECT doc_id, url,
+                   pre || CASE WHEN pre <> '' AND path = ''
+                            THEN '/' ELSE path END
+                       || CASE WHEN kept <> ''
+                            THEN '?' || kept ELSE '' END AS canon_url
+            FROM s5
+        """,
+        "url_dedup": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN (doc_id // 2) % 13 = 0
+                  THEN CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+                  ELSE CASE WHEN doc_id % 2 = 0 THEN 'HTTPS'
+                       ELSE 'https' END END
+                  || '://'
+                  || CASE (doc_id // 2) % 3 WHEN 0 THEN 'www.'
+                       WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                         THEN 'News.CDN.' ELSE 'news.cdn.' END
+                       ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0 THEN 'Host' ELSE 'host' END
+                  || CAST((doc_id // 2) % 23 AS VARCHAR) || '.'
+                  || CASE (doc_id // 2) % 5
+                       WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                       WHEN 2 THEN 'org' WHEN 3 THEN 'com.au' ELSE 'io' END
+                  || CASE WHEN (doc_id // 2) % 7 = 1 THEN ':8080'
+                       WHEN doc_id % 2 = 0 THEN
+                         CASE WHEN (doc_id // 2) % 13 = 0
+                           THEN ':80' ELSE ':443' END
+                       ELSE '' END
+                  || CASE WHEN (doc_id // 2) % 11 = 0 THEN ''
+                       ELSE '/s' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                            || '/p'
+                            || CAST((doc_id // 2) % 50 AS VARCHAR) END
+                  || CASE (doc_id // 2) % 4
+                       WHEN 0 THEN CASE WHEN doc_id % 2 = 0
+                         THEN '?utm_source=news&id='
+                              || CAST((doc_id // 2) % 10 AS VARCHAR)
+                         ELSE '?id='
+                              || CAST((doc_id // 2) % 10 AS VARCHAR) END
+                       WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                         THEN '?id=' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                              || '&utm_campaign=x'
+                         ELSE '?id='
+                              || CAST((doc_id // 2) % 10 AS VARCHAR) END
+                       WHEN 2 THEN CASE WHEN doc_id % 2 = 0
+                         THEN '?gclid=g&fbclid=f' ELSE '' END
+                       ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN '#sec' || CAST((doc_id // 2) % 3 AS VARCHAR)
+                       ELSE '' END AS url
+              FROM documents),
+            s2 AS (SELECT doc_id, split_part(url, '#', 1) AS u0 FROM u),
+            s3 AS (SELECT doc_id,
+                     lower(regexp_extract(u0,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS pre0,
+                     regexp_replace(u0,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+                   FROM s2),
+            s4 AS (SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(pre0,
+                         '^(http://[^:/?#]*):80$', '\1'),
+                       '^(https://[^:/?#]*):443$', '\1') AS pre,
+                     CASE WHEN instr(rest, '?') > 0
+                       THEN substr(rest, 1, instr(rest, '?') - 1)
+                       ELSE rest END AS path,
+                     CASE WHEN instr(rest, '?') > 0
+                       THEN substr(rest, instr(rest, '?') + 1)
+                       ELSE '' END AS q
+                   FROM s3),
+            s5 AS (SELECT doc_id, pre, path,
+                     array_to_string(list_filter(string_split(q, '&'),
+                       x -> NOT (starts_with(x, 'utm_') OR
+                         list_contains(['gclid','fbclid','msclkid','mc_eid'],
+                                       split_part(x, '=', 1)))), '&') AS kept
+                   FROM s4),
+            canon AS (SELECT doc_id,
+                   pre || CASE WHEN pre <> '' AND path = ''
+                            THEN '/' ELSE path END
+                       || CASE WHEN kept <> ''
+                            THEN '?' || kept ELSE '' END AS canon_url
+              FROM s5)
+            SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS doc_id
+            FROM canon GROUP BY canon_url
         """,
         "source_rollup": """
             SELECT source, count(*) AS n_docs,

@@ -195,6 +195,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "source_quantiles",
         "domain_components",
         "corpus_webgraph",
+        "url_dedup",
     ]
     times = {}
     for name in picked:
