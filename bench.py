@@ -26,10 +26,14 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent
-# 1M default: at C-kernel speed a 100k job is ~60% session/actor-pool
-# spin-up and the headline stops measuring the pipeline; 1M pages put the
-# ramp under 20% of the wall (page table is generated once, cached in /tmp)
-BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "1000000"))
+# 4M default: at round-5 fast-path speed a 1M job finishes in ~11 s at 32
+# cpus and the fixed ~4 s session/actor-pool spin-up is ~30% of the wall —
+# the headline stops measuring the pipeline (round-4's 1M headline read
+# 69k docs/s while the same code sustained 89-100k on the 8M scaling legs).
+# At 4M pages the ramp is <10% of the wall; `n_pages` in the JSON makes the
+# change visible across rounds, and docs_per_sec is the cross-round
+# comparable number (page table is generated once, cached in /tmp).
+BENCH_PAGE_ROWS = int(os.environ.get("FUZI_BENCH_PAGES", "4000000"))
 # big enough that steady-state throughput dominates the fixed ~5-10 s
 # session/actor-pool ramp (the real 100 TB job runs for hours; a sub-minute
 # proxy job would measure startup, not scaling)
