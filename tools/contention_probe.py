@@ -72,20 +72,24 @@ def run_leg(k: int, seconds: float) -> dict:
 
 def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
-    legs = {k: run_leg(k, seconds) for k in (8, 32)}
+    small, big = (
+        int(x)
+        for x in os.environ.get("FUZI_PROBE_CPUS", "8,32").split(",")
+    )
+    legs = {k: run_leg(k, seconds) for k in (small, big)}
     factor = (
-        legs[32]["per_proc_docs_s_mean"] / legs[8]["per_proc_docs_s_mean"]
+        legs[big]["per_proc_docs_s_mean"] / legs[small]["per_proc_docs_s_mean"]
     )
     print(
         json.dumps(
             {
-                "metric": "per-core parse throughput, 8 vs 32 busy cores "
-                "(no Ray; pure hardware contention)",
+                "metric": f"per-core parse throughput, {small} vs {big} "
+                "busy cores (no Ray; pure hardware contention)",
                 "legs": legs,
-                "per_core_factor_32_vs_8": round(factor, 3),
+                f"per_core_factor_{big}_vs_{small}": round(factor, 3),
                 "note": "this factor is the structural ceiling of the "
-                "single-box 8->32 scaling proxy; a real 4N-node cluster "
-                "does not share memory bandwidth across nodes",
+                f"single-box {small}->{big} scaling proxy; a real 4N-node "
+                "cluster does not share memory bandwidth across nodes",
             }
         )
     )
