@@ -1614,8 +1614,26 @@ def _q_postings_lookup(sf_dir: str):
 
     tier = pathlib.Path(sf_dir).name or "sf"
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    idx = build_postings(ds, f"/tmp/fuzi_rd_postings_{tier}")
+    # v2 layout: postings rows carry dl + a _STATS sidecar (BM25 support)
+    idx = build_postings(ds, f"/tmp/fuzi_rd_postings_v2_{tier}")
     return lookup_token(idx, "the")
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval over the bucket-partitioned postings index:
+    top-10 docs for a fixed 3-term query.  Reads ONLY the query tokens'
+    bucket dirs; document length rides on the postings row and the two
+    corpus scalars come from the index's _STATS sidecar, so scoring never
+    joins back to the corpus.  Integer micro fixed-point scores keep the
+    ranking oracle-exact (see functions/postings.py:bm25_topk)."""
+    import pathlib
+
+    from fuzi_rd.functions.postings import bm25_topk, build_postings
+
+    tier = pathlib.Path(sf_dir).name or "sf"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = build_postings(ds, f"/tmp/fuzi_rd_postings_v2_{tier}")
+    return bm25_topk(idx, "hash join merge", k=10)
 
 
 def _q_cms_counts(sf_dir: str):
@@ -2899,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_ingest": _q_sitemap_ingest,
         "frontier_urls": _q_frontier_urls,
         "postings_lookup": _q_postings_lookup,
+        "bm25_topk": _q_bm25_topk,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_keep": _q_minhash_keep,
@@ -4023,6 +4042,61 @@ def oracle_sql() -> dict[str, str]:
             ) t
             WHERE token = 'the'
             GROUP BY doc_id
+        """,
+        "bm25_topk": r"""
+            -- Robertson/Okapi BM25, k1=1.25 b=0.75 (dyadic-exact doubles);
+            -- every float sub-expression mirrors postings.bm25_topk's numpy
+            -- expression order so the floored micro fixed-point can't drift
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ),
+            dl AS (
+              SELECT doc_id, count(*) AS dl
+              FROM toks WHERE token <> '' GROUP BY 1
+            ),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT count(*) FROM toks WHERE token <> '') AS sum_dl
+            ),
+            q AS (SELECT unnest(['hash', 'join', 'merge']) AS token),
+            df AS (
+              SELECT tf.token, count(*) AS df
+              FROM tf JOIN q USING (token) GROUP BY 1
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       1000000.0
+                       * ln((CAST(stats.n - df.df AS DOUBLE) + 0.5)
+                            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(tf.tf AS DOUBLE) * 2.25)
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.25 * (0.25 + 0.75
+                            * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(stats.sum_dl AS DOUBLE) / stats.n))))
+                     ) AS BIGINT) AS c
+              FROM tf
+              JOIN q USING (token)
+              JOIN df ON tf.token = df.token
+              JOIN dl ON tf.doc_id = dl.doc_id, stats
+            ),
+            scored AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+              FROM contrib GROUP BY 1
+            ),
+            ranked AS (
+              SELECT doc_id, score_micro,
+                     row_number() OVER (
+                       ORDER BY score_micro DESC, doc_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, score_micro, rnk FROM ranked WHERE rnk <= 10
         """,
         "logodds_score": r"""
             WITH tok AS (

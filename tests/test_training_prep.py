@@ -481,10 +481,18 @@ def test_postings_build_and_pruned_lookup(ray_session, tmp_path):
     idx = build_postings(
         ray.data.from_arrow(_docs(docs)), str(tmp_path / "idx"), n_buckets=8
     )
-    # hive layout: one bucket=K dir per occupied bucket, plus _DONE
+    # hive layout: one bucket=K dir per occupied bucket, plus the _DONE
+    # marker and the _STATS scalars sidecar (BM25's N / sum_dl)
     buckets = sorted(p.name for p in pathlib.Path(idx).iterdir())
-    assert "_DONE" in buckets
-    assert all(b.startswith("bucket=") for b in buckets if b != "_DONE")
+    assert "_DONE" in buckets and "_STATS" in buckets
+    assert all(
+        b.startswith("bucket=") for b in buckets if b not in ("_DONE", "_STATS")
+    )
+    import json
+
+    stats = json.loads((pathlib.Path(idx) / "_STATS").read_text())
+    # 4 docs; 3+2+1+3 = 9 token occurrences
+    assert stats == {"n_docs": 4, "sum_dl": 9}
 
     got = sorted(
         (r["doc_id"], r["tf"]) for r in lookup_token(idx, "apple", n_buckets=8).take_all()
@@ -525,3 +533,56 @@ def test_postings_rebuild_replaces_partial_build(ray_session, tmp_path):
         for r in lookup_token(str(idx), "apple", n_buckets=4).take_all()
     )
     assert got == [(1, 1), (2, 1)]  # no duplicated postings
+
+
+def test_bm25_topk_matches_reference_formula(ray_session, tmp_path):
+    """BM25 over the bucket-pruned index equals a from-scratch pure-Python
+    evaluation of the Robertson formula (k1=1.25, b=0.75, micro
+    fixed-point), including rank tie-break (score desc, doc_id asc)."""
+    import math
+
+    import ray
+
+    from fuzi_rd.functions.postings import bm25_topk, build_postings
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry"),
+        (3, "apple"),
+        (4, "durian fig grape"),
+        (5, "apple banana apple banana apple banana"),
+    ]
+    idx = build_postings(
+        ray.data.from_arrow(_docs(docs)), str(tmp_path / "idx"), n_buckets=8
+    )
+    got = [
+        (r["doc_id"], r["score_micro"], r["rnk"])
+        for r in bm25_topk(idx, "apple cherry", k=3, n_buckets=8).take_all()
+    ]
+
+    # pure-Python reference evaluation
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = float(sum_dl) / float(n)
+    k1, b = 1.25, 0.75
+    scores = {}
+    for term in ("apple", "cherry"):
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for d, v in toks.items():
+            tf = float(v.count(term))
+            if tf:
+                dl = float(len(v))
+                c = math.floor(
+                    1000000.0
+                    * idf
+                    * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+                )
+                scores[d] = scores.get(d, 0) + c
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == [(d, s, i + 1) for i, (d, s) in enumerate(want)]
+
+    # a query whose tokens hit no postings returns an empty, typed result
+    assert bm25_topk(idx, "zzz qqq", k=3, n_buckets=8).take_all() == []
