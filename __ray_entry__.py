@@ -985,6 +985,20 @@ def _q_user_sessions(sf_dir: str):
     return sessionize(ds, key="user_id", ts="ts", gap_us=30 * 60 * 1_000_000)
 
 
+def _q_rolling_events(sf_dir: str):
+    """Per-event rolling frame + LAG: for every event, the count and
+    exact-milli value sum of the user's events in the trailing hour
+    (SQL RANGE frame incl. same-ts peers) and the gap to the user's
+    previous event (SQL LAG; null first).  One hash exchange; per-group
+    searchsorted/cumsum — no window row-expansion."""
+    from fuzi_rd.functions.windows import rolling_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return rolling_per_key(
+        ds, key="user_id", ts="ts", window_us=3600 * 1_000_000, value_col="value"
+    )
+
+
 def _q_purchase_attribution(sf_dir: str):
     """As-of join: each purchase event attached to the user's latest
     signup event at-or-before it (backward inequality join Ray Data
@@ -2884,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_hopping": _q_events_hopping,
         "user_sessions": _q_user_sessions,
+        "rolling_events": _q_rolling_events,
         "purchase_attribution": _q_purchase_attribution,
         "value_bands": _q_value_bands,
         "top_orders_per_status": _q_top_orders_per_status,
@@ -4551,6 +4566,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
                        AS duration_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "rolling_events": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tus,
+                     CAST(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   count(*) OVER w_range AS n_window,
+                   CAST(sum(value_milli) OVER w_range AS BIGINT)
+                       AS win_value_milli,
+                   tus - lag(tus) OVER (PARTITION BY user_id
+                                        ORDER BY tus, event_id) AS gap_us
+            FROM e
+            WINDOW w_range AS (PARTITION BY user_id ORDER BY tus
+                               RANGE BETWEEN 3600000000 PRECEDING
+                                     AND CURRENT ROW)
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -162,3 +162,85 @@ def _count_and_sum(col: str):
     from ray.data.aggregate import Count, Sum
 
     return Count(), Sum(col)
+
+
+def rolling_per_key(
+    ds,
+    key: str = "user_id",
+    ts: str = "ts",
+    window_us: int = 3600 * 1_000_000,
+    value_col: str | None = "value",
+    max_events_per_key: int | None = None,
+):
+    """Per-EVENT rolling stats over a trailing time window, plus the
+    inter-event gap — the SQL window-frame family (``RANGE BETWEEN w
+    PRECEDING AND CURRENT ROW`` and ``LAG``) the tumbling/hopping/session
+    windows don't cover.  One output row per event:
+
+      (event_id, key, n_window, win_value_milli?, gap_us)
+
+    ``n_window`` counts the key's events with ``ts`` in ``[ts_i -
+    window_us, ts_i]`` — including same-timestamp peers AFTER the current
+    row, exactly the SQL RANGE-frame peer rule.  ``gap_us`` is the
+    microseconds since the key's previous event in (ts, event_id) order
+    (null for the key's first event) — SQL ``LAG``.  ``win_value_milli``
+    is the frame's value sum in exact integer millis.
+
+    Scale shape: ONE hash exchange (the groupby on the key); each group
+    task sorts its key's stream once and computes every column
+    vectorized — two ``np.searchsorted`` calls give the frame bounds, an
+    int64 cumsum gives frame sums (exact, order-independent), ``np.diff``
+    gives gaps.  No per-row Python, no window row-expansion (unlike the
+    hopping window there is no size/step amplification).  Hot keys are
+    the same skew hazard as ``sessionize``; ``max_events_per_key`` raises
+    a loud ValueError naming the key rather than letting a bot's stream
+    OOM a group task."""
+
+    def _per_key(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kv = group.column(key)[0].as_py()
+        t = group.column(ts)
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        t = t.to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        if max_events_per_key is not None and len(t) > max_events_per_key:
+            raise ValueError(
+                f"hot key {kv!r}: {len(t)} events > max_events_per_key="
+                f"{max_events_per_key}; exclude the key upstream"
+            )
+        order = np.lexsort((eid, t))
+        t, eid = t[order], eid[order]
+        # frame bounds: [ts - window, ts] with same-ts peers included
+        hi = np.searchsorted(t, t, side="right")
+        lo = np.searchsorted(t, t - window_us, side="left")
+        gaps = np.zeros(len(t), dtype=np.int64)
+        if len(t) > 1:
+            gaps[1:] = t[1:] - t[:-1]
+        first = np.zeros(len(t), dtype=bool)
+        if len(t):
+            first[0] = True  # the key's first event has no LAG
+        cols = {
+            "event_id": pa.array(eid, pa.int64()),
+            key: pa.array([kv] * len(t), group.schema.field(key).type),
+            "n_window": pa.array(hi - lo, pa.int64()),
+        }
+        if value_col is not None:
+            milli = (
+                pc.cast(
+                    pc.round(
+                        pc.multiply(group.column(value_col), 1000),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                )
+                .to_numpy(zero_copy_only=False)[order]
+            )
+            csum = np.zeros(len(t) + 1, dtype=np.int64)
+            np.cumsum(milli, out=csum[1:])
+            cols["win_value_milli"] = pa.array(csum[hi] - csum[lo], pa.int64())
+        cols["gap_us"] = pa.array(gaps, pa.int64(), mask=first)
+        return pa.table(cols)
+
+    return ds.groupby(key).map_groups(_per_key, batch_format="pyarrow")

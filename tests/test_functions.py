@@ -1161,6 +1161,67 @@ def test_hopping_counts_bad_step():
         hopping_counts(None, size_us=100, step_us=33)
 
 
+def test_rolling_per_key_frame_and_lag(ray_session):
+    """Rolling RANGE frame semantics: trailing window INCLUDES
+    same-timestamp peers after the current row (the SQL peer rule); gap_us
+    is LAG in (ts, event_id) order with null for the key's first event;
+    frame sums are exact integer millis."""
+    import ray
+
+    from fuzi_rd.functions.windows import rolling_per_key
+
+    S = 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            # user 1: 0s, 5s, 5s (tie), 100s; user 2: 0s, 8s
+            "ts": pa.array([0, 5 * S, 5 * S, 100 * S, 0, 8 * S], pa.int64()),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 0.0005, 1.0], pa.float64()),
+        }
+    )
+    out = rolling_per_key(
+        ray.data.from_arrow(tbl),
+        key="user_id",
+        ts="ts",
+        window_us=10 * S,
+        value_col="value",
+    ).take_all()
+    got = {
+        r["event_id"]: (r["n_window"], r["win_value_milli"], r["gap_us"])
+        for r in out
+    }
+    assert got == {
+        # frame [ts-10s, ts]; the 5s tie rows are PEERS: both see both
+        10: (1, 1000, None),
+        11: (3, 7000, 5 * S),  # includes event 12 (same-ts peer after it)
+        12: (3, 7000, 0),  # tie gap is 0, not null
+        13: (1, 8000, 95 * S),  # window slid past everything else
+        20: (1, 1, None),  # 0.0005 -> 0.5 milli rounds half-away to 1
+        21: (2, 1001, 8 * S),
+    }
+
+
+def test_rolling_per_key_hot_key_guard(ray_session):
+    import pytest
+    import ray
+
+    from fuzi_rd.functions.windows import rolling_per_key
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "user_id": pa.array([7] * 5, pa.int64()),
+            "ts": pa.array(range(5), pa.int64()),
+            "value": pa.array([1.0] * 5, pa.float64()),
+        }
+    )
+    with pytest.raises(Exception, match="hot key"):
+        rolling_per_key(
+            ray.data.from_arrow(tbl), max_events_per_key=3
+        ).take_all()
+
+
 def test_asof_join(ray_session):
     import ray
 
