@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fuzi_rd.functions.dedup import (
+    _adaptive_partitions,
     _compact,
     _rename,
     _semi_join_partitions,
@@ -109,10 +110,16 @@ def domain_components(
         .min("domain"),
         {"min(domain)": "domain"},
     )
-    joined = _compact(mapping).join(
-        _compact(labels),
+    mapping_c = _compact(mapping)
+    labels_c = _compact(labels)
+    joined = mapping_c.join(
+        labels_c,
         join_type="inner",
-        num_partitions=_semi_join_partitions(num_partitions),
+        num_partitions=(
+            _adaptive_partitions(mapping_c)
+            if num_partitions is None
+            else num_partitions
+        ),
         on=("doc_id",),
     )
 
@@ -141,7 +148,6 @@ def pagerank(
 
     ``weight_col=None`` treats every edge as weight 1 (parallel edges sum).
     """
-    P = _semi_join_partitions(num_partitions)
 
     def _std(batch: pa.Table) -> pa.Table:
         w = (
@@ -154,6 +160,14 @@ def pagerank(
         )
 
     edges = _compact(edges_ds.map_batches(_std, batch_format="pyarrow"))
+    # join partition count sized to the materialized edge list (metadata
+    # rows, no block fetch) — per-iteration joins otherwise pay a per-CPU
+    # shuffle's fixed cost even on a thousand-row graph
+    P = (
+        _adaptive_partitions(edges)
+        if num_partitions is None
+        else num_partitions
+    )
 
     # node set: every distinct src or dst
     def _endpoints(batch: pa.Table) -> pa.Table:
