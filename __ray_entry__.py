@@ -875,6 +875,17 @@ def _q_source_rollup(sf_dir: str):
     return out.map_batches(post, batch_format="pyarrow")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis key
+    rule, deterministic md5 uniforms, integer micro keys): 100 documents
+    drawn proportional to length.  Row-local keys + block-local top-k, so
+    the only exchange is a k*n_blocks-row sort."""
+    from fuzi_rd.functions.sampling import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample_topk(ds, k=100, weight_col="n_chars", seed=0)
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic hash sampling: keep ~10% of documents by md5(doc_id)
     bucket — reproducible corpus sampling with NO shuffle and no RNG state
@@ -2894,6 +2905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "source_rollup": _q_source_rollup,
         "doc_sample": _q_doc_sample,
+        "weighted_sample": _q_weighted_sample,
         "docs_top_longest": _q_docs_top_longest,
         "events_hourly": _q_events_hourly,
         "events_hopping": _q_events_hopping,
@@ -4497,6 +4509,29 @@ def oracle_sql() -> dict[str, str]:
             -- chars compare lexicographically == numerically
             SELECT doc_id, text FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+        "weighted_sample": """
+            -- Efraimidis-Spirakis: top-k by ln(u)/w, u = (md5 lower half
+            -- + 1)/2^64 (exact dyadic divisor), integer micro fixed-point
+            WITH s AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                     CAST(floor(
+                       1000000.0
+                       * ln((CAST(md5_number_lower(
+                               '0:' || CAST(doc_id AS VARCHAR))
+                             AS DOUBLE) + 1.0)
+                            / 18446744073709551616.0)
+                       / CAST(n_chars AS DOUBLE)
+                     ) AS BIGINT) AS key_micro
+              FROM documents
+              WHERE n_chars > 0
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       ORDER BY key_micro DESC, doc_id ASC) AS rnk
+              FROM s
+            )
+            SELECT doc_id, weight, key_micro, rnk FROM ranked WHERE rnk <= 100
         """,
         "doc_chunks": r"""
             WITH toks AS (

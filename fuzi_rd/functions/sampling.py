@@ -239,3 +239,84 @@ def mixture_token_sample(
     return ds.map_batches(annotate, batch_format="pyarrow").map_batches(
         _Keep, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+def weighted_sample_topk(
+    ds,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    one-pass key rule (Efraimidis & Spirakis 2006, "Weighted random
+    sampling with a reservoir"): every row gets key = ln(u)/w with a
+    DETERMINISTIC per-row uniform u, and the k largest keys ARE a weighted
+    sample without replacement.  Returns (id_col, weight, key_micro, rnk).
+
+    Deterministic + oracle-exact: u = (md5_number_lower("seed:id") + 1) /
+    2^64 (the same DuckDB md5 convention as ``shard_assign``; +1 keeps u
+    in (0, 1] so ln is finite), and ranking uses integer micro fixed-point
+    ``floor(1e6 * ln(u) / w)`` with an id tie-break, so engine and SQL
+    sort the SAME integers — membership can't flip on a float rounding
+    edge.  Rows with non-positive weight are excluded (both sides).
+
+    Scale shape: the key is a pure row-local function (one map_batches, no
+    exchange); each block pre-reduces to its local top-k, so the global
+    sort+limit sees at most k x n_blocks fixed-width rows, never the
+    corpus."""
+    import hashlib
+    import struct
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = batch.column(id_col).to_pylist()
+        h = np.array(
+            [
+                struct.unpack(
+                    "<Q", hashlib.md5(f"{seed}:{i}".encode()).digest()[8:]
+                )[0]
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        keep = w > 0
+        key_micro = np.zeros(len(w), dtype=np.int64)
+        key_micro[keep] = np.floor(
+            1000000.0 * np.log(u[keep]) / w[keep]
+        ).astype(np.int64)
+        out = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "weight": pc.cast(batch.column(weight_col), pa.int64()),
+                "key_micro": pa.array(key_micro, pa.int64()),
+            }
+        ).filter(pa.array(keep, pa.bool_()))
+        # block-local top-k: bounds the global sort to k rows per block
+        return out.sort_by(
+            [("key_micro", "descending"), (id_col, "ascending")]
+        ).slice(0, k)
+
+    topk = (
+        ds.map_batches(_keys, batch_format="pyarrow")
+        .sort(["key_micro", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rnk", pa.array(range(1, len(batch) + 1), pa.int64())
+        )
+
+    return topk.repartition(1).map_batches(
+        _rank, batch_size=None, batch_format="pyarrow"
+    )

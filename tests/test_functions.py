@@ -353,6 +353,57 @@ def test_stratified_sample_keep(ray_session):
     assert 0 < len(expect) < 3 * cap
 
 
+def test_weighted_sample_topk_es_keys(ray_session):
+    """Efraimidis-Spirakis sample equals a pure-Python evaluation of the
+    same key rule (md5-lower-half uniforms, integer micro keys, id
+    tie-break); zero-weight rows are excluded; heavier rows dominate."""
+    import hashlib
+    import math
+    import struct
+
+    import ray
+
+    from fuzi_rd.functions.sampling import weighted_sample_topk
+
+    n = 400
+    # first half weight 1, second half weight 1000 (plus two zero-weight)
+    weights = [1] * (n // 2) + [1000] * (n // 2) + [0, 0]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(weights)), pa.int64()),
+            "n_chars": pa.array(weights, pa.int64()),
+        }
+    )
+    k = 50
+    got = [
+        (r["doc_id"], r["weight"], r["key_micro"], r["rnk"])
+        for r in weighted_sample_topk(
+            ray.data.from_arrow(tbl), k=k, seed=0
+        ).take_all()
+    ]
+
+    def key_micro(i, w):
+        h = struct.unpack(
+            "<Q", hashlib.md5(f"0:{i}".encode()).digest()[8:]
+        )[0]
+        u = (float(h) + 1.0) / 18446744073709551616.0
+        return math.floor(1000000.0 * math.log(u) / w)
+
+    scored = sorted(
+        ((key_micro(i, w), -i) for i, w in enumerate(weights) if w > 0),
+        reverse=True,
+    )[:k]
+    want = [
+        (-ni, weights[-ni], km, r + 1)
+        for r, (km, ni) in enumerate(scored)
+    ]
+    assert got == want
+    # zero-weight rows never sampled; heavy rows dominate the sample
+    ids = [d for d, *_ in got]
+    assert all(d < n for d in ids)
+    assert sum(1 for d in ids if d >= n // 2) > 0.8 * k
+
+
 def test_split_assign_deterministic_and_exhaustive(ray_session):
     """Every row gets exactly one of train/val/test; assignment is a pure
     function of doc_id (re-running and re-sharding cannot move a doc
