@@ -986,6 +986,60 @@ def _q_events_hopping(sf_dir: str):
     )
 
 
+def _q_referential_qa(sf_dir: str):
+    """Referential-integrity QA report: orphan-row counts for the four
+    foreign keys of the relational tier (lineitem->orders,
+    orders->customer, customer->nation, supplier->nation) — the data-card
+    check that catches a broken ingestion join upstream.  Each check is a
+    distributed hash anti-join on the key (no driver key set); each
+    result reduces to ONE count row, so the report is four tiny
+    aggregates unioned."""
+    import pyarrow as pa
+
+    from fuzi_rd.functions.dedup import anti_join
+
+    checks = [
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for name, child, fk, parent, pk in checks:
+        c = _read(sf_dir, child, columns=[fk])
+        p = _read(sf_dir, parent, columns=[pk])
+
+        def _rn(b: pa.Table, fk=fk) -> pa.Table:
+            return pa.table({"k": b.column(fk)})
+
+        def _rp(b: pa.Table, pk=pk) -> pa.Table:
+            return pa.table({"k": b.column(pk)})
+
+        orphans = anti_join(
+            c.map_batches(_rn, batch_format="pyarrow"),
+            p.map_batches(_rp, batch_format="pyarrow"),
+            "k",
+        )
+        n = orphans.count()
+        outs.append((name, int(n)))
+    return pa.table(
+        {
+            "check": pa.array([c for c, _ in outs], pa.string()),
+            "n_orphans": pa.array([n for _, n in outs], pa.int64()),
+        }
+    )
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (50-unit bins, integer milli
+    edges): bin assignment row-local, one bounded groupby with count+sum
+    partials — the profiling aggregate a curation report starts from."""
+    from fuzi_rd.functions.relational import fixed_width_histogram
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return fixed_width_histogram(ds, "value", bin_milli=50_000)
+
+
 def _q_user_sessions(sf_dir: str):
     """Gap-based session windows (30-min inactivity gap) per user — the
     streaming session-window analog as one hash shuffle + vectorized
@@ -2911,6 +2965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "user_sessions": _q_user_sessions,
         "rolling_events": _q_rolling_events,
+        "value_histogram": _q_value_histogram,
+        "referential_qa": _q_referential_qa,
         "purchase_attribution": _q_purchase_attribution,
         "value_bands": _q_value_bands,
         "top_orders_per_status": _q_top_orders_per_status,
@@ -4601,6 +4657,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
                        AS duration_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "referential_qa": """
+            SELECT 'lineitem_orders' AS "check",
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'orders_customer',
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'customer_nation',
+                   (SELECT count(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
+            UNION ALL
+            SELECT 'supplier_nation',
+                   (SELECT count(*) FROM supplier s
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = s.s_nationkey))
+        """,
+        "value_histogram": """
+            -- floor (not //: DuckDB truncates) over exact integer millis
+            WITH m AS (
+              SELECT CAST(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events
+            ),
+            b AS (
+              SELECT CAST(floor(value_milli / 50000) AS BIGINT) AS bin,
+                     value_milli
+              FROM m
+            )
+            SELECT bin, bin * 50000 AS lo_milli,
+                   count(*) AS n,
+                   CAST(sum(value_milli) AS BIGINT) AS sum_value_milli
+            FROM b GROUP BY bin
         """,
         "rolling_events": """
             WITH e AS (

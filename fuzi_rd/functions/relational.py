@@ -259,3 +259,77 @@ def nested_semi_join(ds, keys_ds, key_col: str, batch_format: str = "pyarrow"):
         return g.filter(payload_mask).drop_columns([_SJ])
 
     return tagged.groupby(key_col).map_groups(_keep, batch_format=batch_format)
+
+
+def fixed_width_histogram(
+    ds,
+    value_col: str,
+    bin_milli: int,
+    scale: int = 1000,
+):
+    """Fixed-width histogram over a float column: (bin, lo_milli, n,
+    sum_value_milli) per occupied bin — the one-pass profiling aggregate
+    every curation report starts from.
+
+    Bin edges are computed in INTEGER milli space (value scaled by
+    ``scale`` with SQL round() tie semantics, then floor-divided by
+    ``bin_milli``), so a value landing exactly on an edge bins identically
+    in the engine and a DuckDB oracle — no float floor edge.  Combiner
+    shape: bin assignment is row-local; the only exchange is the groupby
+    on the (bounded) occupied-bin set, with count+sum partials."""
+    from ray.data.aggregate import Count, Sum
+
+    if bin_milli < 1:
+        raise ValueError("bin_milli must be >= 1")
+
+    def _bin(batch: pa.Table) -> pa.Table:
+        milli = pc.cast(
+            pc.round(
+                pc.multiply(batch.column(value_col), scale),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        # numpy // FLOORS; DuckDB's integer // truncates toward zero, so
+        # the oracle must bin via floor(value_milli / bin_milli) (exact in
+        # doubles below 2^53) — the floor contract keeps negative values
+        # in their mathematically-left bin on both sides
+        bins = milli // bin_milli
+        return pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "value_milli": pa.array(milli, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(), Sum("value_milli"))
+    )
+
+    def _out(batch: pa.Table) -> pa.Table:
+        names = ["bin", "n", "sum_value_milli"]
+        if batch.num_columns != 3:
+            return pa.schema(
+                [
+                    ("bin", pa.int64()),
+                    ("lo_milli", pa.int64()),
+                    ("n", pa.int64()),
+                    ("sum_value_milli", pa.int64()),
+                ]
+            ).empty_table()
+        batch = batch.rename_columns(names)
+        bins = pc.cast(batch.column("bin"), pa.int64())
+        return pa.table(
+            {
+                "bin": bins,
+                "lo_milli": pc.multiply(bins, bin_milli),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "sum_value_milli": pc.cast(
+                    batch.column("sum_value_milli"), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_out, batch_format="pyarrow")

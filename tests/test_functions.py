@@ -1253,6 +1253,32 @@ def test_rolling_per_key_frame_and_lag(ray_session):
     }
 
 
+def test_fixed_width_histogram_floor_bins(ray_session):
+    """Integer-milli bin edges with FLOOR semantics (negatives go to the
+    mathematically-left bin); exact milli sums; SQL round() tie rule."""
+    import ray
+
+    from fuzi_rd.functions.relational import fixed_width_histogram
+
+    tbl = pa.table(
+        {"value": pa.array([0.0, 0.49, 0.5, -0.25, -1.0, 1.0005], pa.float64())}
+    )
+    out = fixed_width_histogram(
+        ray.data.from_arrow(tbl), "value", bin_milli=500
+    ).take_all()
+    got = {r["bin"]: (r["lo_milli"], r["n"], r["sum_value_milli"]) for r in out}
+    assert got == {
+        # 0.0, 0.49 -> [0, 500); 0.5 (500 milli) -> [500, 1000)
+        0: (0, 2, 490),
+        # 1.0005 -> 1000.5 milli rounds half-away to 1001 -> bin 2
+        2: (1000, 1, 1001),
+        1: (500, 1, 500),
+        # -0.25 -> -250 milli -> floor bin -1; -1.0 -> -1000 -> bin -2
+        -1: (-500, 1, -250),
+        -2: (-1000, 1, -1000),
+    }
+
+
 def test_rolling_per_key_hot_key_guard(ray_session):
     import pytest
     import ray
