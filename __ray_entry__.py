@@ -875,6 +875,17 @@ def _q_source_rollup(sf_dir: str):
     return out.map_batches(post, batch_format="pyarrow")
 
 
+def _q_length_outliers(sf_dir: str):
+    """Robust per-source outlier flags: |n_chars - median| * 1000 >
+    3000 * MAD within the source — integer arithmetic end to end, two
+    bounded histogram exchanges + scalar broadcasts, row-local flagging
+    (fuzi_rd/functions/vocab.py mad_outliers)."""
+    from fuzi_rd.functions.vocab import mad_outliers
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return mad_outliers(ds, key_col="source", value_col="n_chars")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis-Spirakis key
     rule, deterministic md5 uniforms, integer micro keys): 100 documents
@@ -2960,6 +2971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_rollup": _q_source_rollup,
         "doc_sample": _q_doc_sample,
         "weighted_sample": _q_weighted_sample,
+        "length_outliers": _q_length_outliers,
         "docs_top_longest": _q_docs_top_longest,
         "events_hourly": _q_events_hourly,
         "events_hopping": _q_events_hopping,
@@ -4565,6 +4577,27 @@ def oracle_sql() -> dict[str, str]:
             -- chars compare lexicographically == numerically
             SELECT doc_id, text FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+        "length_outliers": """
+            WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+            med AS (
+              SELECT source,
+                     CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+              FROM t GROUP BY source
+            ),
+            d AS (
+              SELECT t.doc_id, t.source, t.n_chars,
+                     abs(t.n_chars - med.med) AS dev
+              FROM t JOIN med USING (source)
+            ),
+            mad AS (
+              SELECT source, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+              FROM d GROUP BY source
+            )
+            SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   CAST(d.dev AS BIGINT) AS dev,
+                   (d.dev * 1000 > 3000 * mad.mad) AS is_outlier
+            FROM d JOIN mad USING (source)
         """,
         "weighted_sample": """
             -- Efraimidis-Spirakis: top-k by ln(u)/w, u = (md5 lower half

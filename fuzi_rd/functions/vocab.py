@@ -371,6 +371,93 @@ def grouped_quantiles(
     return pa.table(cols)
 
 
+def mad_outliers(
+    ds,
+    key_col: str,
+    value_col: str,
+    thresh_milli: int = 3000,
+    max_strata: int = DEFAULT_MAX_QUANTILE_STRATA,
+):
+    """Robust per-group outlier flags via median absolute deviation: a row
+    is an outlier when ``|v - median| * 1000 > thresh_milli * MAD`` within
+    its group — the curation QA gate that survives the heavy-tailed length
+    distributions a mean/stddev z-score chokes on.  Pure INTEGER
+    arithmetic end to end (no division, no sqrt), so flags are
+    oracle-exact.
+
+    Scale shape: two bounded exchanges (the same fixed-width
+    ``(key, value) -> count`` histogram groupby as
+    :func:`grouped_quantiles`, run once on values and once on
+    deviations); each fit reduces to a per-group scalar broadcast via
+    ``ray.put``; the flagging pass is row-local.  ``ds`` is consumed
+    three times (two fits + the flag pass) — pass a re-readable source
+    (a column-pruned ``read_parquet``), not an expensive lazy pipeline.
+
+    Returns a Dataset of (id-and-key columns of ``ds``, value, dev,
+    is_outlier).  A group with MAD 0 (over half its rows share the
+    median) flags every row off the median, the standard MAD degeneracy.
+    """
+    import ray
+
+    med_tbl = grouped_quantiles(
+        ds, key_col, value_col, qs=(0.5,), max_strata=max_strata
+    )
+    med = {
+        k: int(m)
+        for k, m in zip(
+            med_tbl.column(key_col).to_pylist(), med_tbl.column("p50").to_pylist()
+        )
+    }
+    med_ref = ray.put(med)
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        keys = batch.column(key_col).to_pylist()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        meds = np.array([m[k] for k in keys], dtype=np.int64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "dev": pa.array(np.abs(v - meds), pa.int64()),
+            }
+        )
+
+    mad_tbl = grouped_quantiles(
+        ds.map_batches(_dev, batch_format="pyarrow"),
+        key_col,
+        "dev",
+        qs=(0.5,),
+        max_strata=max_strata,
+    )
+    mad = {
+        k: int(m)
+        for k, m in zip(
+            mad_tbl.column(key_col).to_pylist(), mad_tbl.column("p50").to_pylist()
+        )
+    }
+    mad_ref = ray.put(mad)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        md = ray.get(mad_ref)
+        keys = batch.column(key_col).to_pylist()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        meds = np.array([m[k] for k in keys], dtype=np.int64)
+        mads = np.array([md[k] for k in keys], dtype=np.int64)
+        dev = np.abs(v - meds)
+        out = {c: batch.column(c) for c in batch.column_names}
+        out[value_col] = pa.array(v, pa.int64())
+        out["dev"] = pa.array(dev, pa.int64())
+        out["is_outlier"] = pa.array(
+            dev * 1000 > thresh_milli * mads, pa.bool_()
+        )
+        return pa.table(out)
+
+    return ds.map_batches(_flag, batch_format="pyarrow")
+
+
 # -- Count-Min sketch (watchlist counting without a vocabulary exchange) -----
 
 CMS_WIDTH = 1 << 14  # 16384 counters/row

@@ -323,3 +323,39 @@ def test_grouped_quantiles_strata_cap(ray_session):
     )
     with pytest.raises(ValueError, match="max_strata"):
         grouped_quantiles(ds, "k", "v", max_strata=10)
+
+
+def test_mad_outliers_flags_and_degenerate_group(ray_session):
+    """MAD flags |v - med|*1000 > thresh*MAD with exact integers; a group
+    whose MAD is 0 (majority shares the median) flags every off-median
+    row — the standard MAD degeneracy."""
+    import pyarrow as pa
+    import ray
+
+    from fuzi_rd.functions.vocab import mad_outliers
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(9), pa.int64()),
+            "source": ["a"] * 5 + ["b"] * 4,
+            # a: disc-median 11 (rank ceil(.5*5)-1 = 2), devs {1,1,0,1,89}
+            # -> MAD 1 -> outlier iff dev*1000 > 3000*1, i.e. dev > 3
+            "n_chars": pa.array([10, 10, 11, 12, 100, 7, 7, 7, 50], pa.int64()),
+        }
+    )
+    out = mad_outliers(
+        ray.data.from_arrow(tbl), key_col="source", value_col="n_chars"
+    ).take_all()
+    got = {r["doc_id"]: (r["dev"], r["is_outlier"]) for r in out}
+    assert got == {
+        0: (1, False),
+        1: (1, False),
+        2: (0, False),
+        3: (1, False),
+        4: (89, True),
+        # b: median 7, devs {0,0,0,43} -> MAD 0 -> any dev>0 is an outlier
+        5: (0, False),
+        6: (0, False),
+        7: (0, False),
+        8: (43, True),
+    }
