@@ -1015,10 +1015,17 @@ def _q_referential_qa(sf_dir: str):
         ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
         ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
     ]
-    outs = []
+    # build all four plans sequentially (read_parquet's lazy fsspec import
+    # is not thread-safe), then drive the four independent counts
+    # concurrently — each .count() blocks its thread, not the cluster
+    plans = []
     for name, child, fk, parent, pk in checks:
         c = _read(sf_dir, child, columns=[fk])
         p = _read(sf_dir, parent, columns=[pk])
+        # join partitions sized to the child table's parquet row-count
+        # metadata (free), not the CPU count — the nation-keyed checks
+        # would otherwise pay a 32-partition shuffle for 15k rows
+        parts = max(1, min(32, c.count() // 65536 + 1))
 
         def _rn(b: pa.Table, fk=fk) -> pa.Table:
             return pa.table({"k": b.column(fk)})
@@ -1026,13 +1033,24 @@ def _q_referential_qa(sf_dir: str):
         def _rp(b: pa.Table, pk=pk) -> pa.Table:
             return pa.table({"k": b.column(pk)})
 
-        orphans = anti_join(
-            c.map_batches(_rn, batch_format="pyarrow"),
-            p.map_batches(_rp, batch_format="pyarrow"),
-            "k",
+        plans.append(
+            (
+                name,
+                anti_join(
+                    c.map_batches(_rn, batch_format="pyarrow"),
+                    p.map_batches(_rp, batch_format="pyarrow"),
+                    "k",
+                    num_partitions=parts,
+                ),
+            )
         )
-        n = orphans.count()
-        outs.append((name, int(n)))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(plans)) as ex:
+        outs = list(
+            ex.map(lambda nd: (nd[0], int(nd[1].count())), plans)
+        )
     return pa.table(
         {
             "check": pa.array([c for c, _ in outs], pa.string()),

@@ -200,6 +200,12 @@ def run_query_bench(sf_dir: str) -> dict:
         "domain_components",
         "corpus_webgraph",
         "url_dedup",
+        "bm25_topk",
+        "rolling_events",
+        "weighted_sample",
+        "value_histogram",
+        "referential_qa",
+        "length_outliers",
     ]
     times = {}
     for name in picked:
