@@ -1304,6 +1304,39 @@ def _q_minhash_keep(sf_dir: str):
     return minhash_keep(ds, threshold=0.8)
 
 
+def _q_lsh_serving_lookup(sf_dir: str):
+    """MinHash-LSH SERVING path: the corpus is signed once into a
+    persisted two-artifact index (band rows hive-partitioned by
+    band-hash bucket, signatures by doc-id bucket), then an incremental
+    query set is answered by reading ONLY the band buckets the queries
+    hash into + the signature buckets of the surviving candidates —
+    never the whole artifact (functions/lsh_index.py).  Queries here are
+    a deterministic corpus slice (doc_id % 97 == 0), so each reports
+    itself at n_agree=64 plus any true near-dups.  Rows-only (minhash
+    permutations are not SQL-expressible); the exact-set brute-force
+    twin is pinned in tests/test_lsh_index.py."""
+    import pathlib
+
+    import pyarrow.compute as pc
+
+    from fuzi_rd.functions.lsh_index import build_lsh_index, lsh_lookup
+
+    tier = pathlib.Path(sf_dir).name or "sf"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = build_lsh_index(ds, f"/tmp/fuzi_rd_lsh_idx_{tier}")
+
+    def _queries(b):
+        ids = b.column("doc_id")
+        keep = b.filter(
+            pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 97), 97)), 0)
+        )
+        return keep.rename_columns(["query_id", "text"])
+
+    q = ds.map_batches(_queries, batch_format="pyarrow")
+    out = lsh_lookup(idx, q, threshold=0.8)
+    return out.sort(["query_id", "doc_id"])
+
+
 def _q_simhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     from fuzi_rd.functions.dedup import simhash_near_pairs
@@ -3035,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_keep": _q_minhash_keep,
         "simhash_pairs": _q_simhash_pairs,
+        "lsh_serving_lookup": _q_lsh_serving_lookup,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,

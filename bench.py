@@ -206,6 +206,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "value_histogram",
         "referential_qa",
         "length_outliers",
+        "lsh_serving_lookup",
     ]
     times = {}
     for name in picked:
